@@ -1,0 +1,252 @@
+"""Golden parity tests for core ops vs torch reference semantics.
+
+torch (CPU) is used ONLY to mint golden values with the same public torch
+ops the reference calls (grid_sample, unfold, avg_pool, interpolate);
+the framework itself never imports torch.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from ppmstereo_tpu.ops.geometry import (
+    adaptive_max_pool2d,
+    avg_pool2d,
+    cosine_similarity_matrix,
+    coords_grid_x,
+    interp_bilinear,
+    upsample2x_nearest,
+)
+from ppmstereo_tpu.ops.corr import (
+    bilinear_sample_2d,
+    build_corr_pyramid,
+    corr_lookup,
+    corr_volume,
+)
+from ppmstereo_tpu.ops.padding import InputPadder
+from ppmstereo_tpu.ops.upsample import convex_upsample_2d, convex_upsample_3d
+
+
+def t2j(x):
+    return jnp.asarray(x.numpy())
+
+
+class TestGeometry:
+    def test_interp_bilinear_matches_torch(self, rng):
+        x = rng.standard_normal((2, 7, 9, 3)).astype(np.float32)
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        want = F.interpolate(xt, size=(14, 18), mode="bilinear", align_corners=True)
+        got = interp_bilinear(jnp.asarray(x), (14, 18))
+        np.testing.assert_allclose(
+            np.asarray(got), want.permute(0, 2, 3, 1).numpy(), rtol=1e-5, atol=1e-5
+        )
+
+    def test_interp_downscale(self, rng):
+        x = rng.standard_normal((1, 16, 20, 2)).astype(np.float32)
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        want = F.interpolate(xt, size=(5, 7), mode="bilinear", align_corners=True)
+        got = interp_bilinear(jnp.asarray(x), (5, 7))
+        np.testing.assert_allclose(
+            np.asarray(got), want.permute(0, 2, 3, 1).numpy(), rtol=1e-5, atol=1e-5
+        )
+
+    def test_avg_pool2d(self, rng):
+        x = rng.standard_normal((2, 8, 12, 5)).astype(np.float32)
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        want = F.avg_pool2d(xt, 4, stride=4)
+        got = avg_pool2d(jnp.asarray(x), 4, 4)
+        np.testing.assert_allclose(
+            np.asarray(got), want.permute(0, 2, 3, 1).numpy(), rtol=1e-5, atol=1e-5
+        )
+
+    @pytest.mark.parametrize("hw,out", [((20, 32), (5, 8)), ((22, 30), (5, 7))])
+    def test_adaptive_max_pool(self, rng, hw, out):
+        x = rng.standard_normal((2, *hw, 3)).astype(np.float32)
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        want = torch.nn.AdaptiveMaxPool2d(out)(xt)
+        got = adaptive_max_pool2d(jnp.asarray(x), out)
+        np.testing.assert_allclose(
+            np.asarray(got), want.permute(0, 2, 3, 1).numpy(), rtol=1e-6, atol=1e-6
+        )
+
+    def test_upsample2x_nearest(self, rng):
+        x = rng.standard_normal((1, 4, 5, 2)).astype(np.float32)
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        want = F.interpolate(xt, scale_factor=2, mode="nearest")
+        got = upsample2x_nearest(jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(got), want.permute(0, 2, 3, 1).numpy()
+        )
+
+    def test_cosine_similarity_matrix(self, rng):
+        q = rng.standard_normal((2, 5, 16)).astype(np.float32)
+        k = rng.standard_normal((2, 5, 16)).astype(np.float32)
+        qt, kt = torch.from_numpy(q), torch.from_numpy(k)
+        # reference orientation (ppmstereo.py:412)
+        want = F.cosine_similarity(qt.unsqueeze(1), kt.unsqueeze(2), dim=-1)
+        got = cosine_similarity_matrix(jnp.asarray(q), jnp.asarray(k))
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-5, atol=1e-5)
+
+    def test_coords_grid_x(self):
+        g = coords_grid_x(2, 3, 4)
+        assert g.shape == (2, 3, 4)
+        np.testing.assert_array_equal(np.asarray(g[0, 0]), [0, 1, 2, 3])
+        np.testing.assert_array_equal(np.asarray(g[1, 2]), [0, 1, 2, 3])
+
+
+def torch_corr_block(fmap1_t, fmap2_t, flow_t, num_levels=4, radius=4):
+    """Reference CorrBlock1D semantics, reimplemented with torch ops."""
+    B, D, H, W1 = fmap1_t.shape
+    W2 = fmap2_t.shape[-1]
+    corr = torch.einsum("aijk,aijh->ajkh", fmap1_t, fmap2_t) / np.sqrt(D)
+    corr = corr.reshape(B * H * W1, 1, 1, W2)
+    pyramid = [corr]
+    for _ in range(num_levels):
+        corr = F.avg_pool2d(corr, [1, 2], stride=[1, 2])
+        pyramid.append(corr)
+
+    ys = torch.arange(H).float()
+    xs = torch.arange(W1).float()
+    gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+    coords = gx[None] + flow_t[:, 0]  # x + flow_x
+    coords = coords.reshape(B * H * W1, 1, 1, 1)
+
+    out = []
+    for i in range(num_levels):
+        c = pyramid[i]
+        dx = torch.linspace(-radius, radius, 2 * radius + 1).view(1, 1, -1, 1)
+        x0 = dx + coords / 2**i
+        y0 = torch.zeros_like(x0)
+        W = c.shape[-1]
+        xgrid = 2 * x0 / (W - 1) - 1
+        grid = torch.cat([xgrid, y0], dim=-1)
+        sampled = F.grid_sample(c.float(), grid, align_corners=True)
+        out.append(sampled.view(B, H, W1, -1))
+    return torch.cat(out, dim=-1)
+
+
+class TestCorr:
+    def test_corr_volume(self, rng):
+        f1 = rng.standard_normal((2, 6, 10, 16)).astype(np.float32)
+        f2 = rng.standard_normal((2, 6, 12, 16)).astype(np.float32)
+        f1t = torch.from_numpy(f1).permute(0, 3, 1, 2)
+        f2t = torch.from_numpy(f2).permute(0, 3, 1, 2)
+        want = torch.einsum("aijk,aijh->ajkh", f1t, f2t) / np.sqrt(16)
+        got = corr_volume(jnp.asarray(f1), jnp.asarray(f2))
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-4)
+
+    def test_lookup_matches_grid_sample(self, rng):
+        B, H, W, C = 2, 4, 32, 8
+        f1 = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        f2 = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        flow = (rng.standard_normal((B, H, W)) * 5).astype(np.float32)
+
+        f1t = torch.from_numpy(f1).permute(0, 3, 1, 2)
+        f2t = torch.from_numpy(f2).permute(0, 3, 1, 2)
+        flow_t = torch.from_numpy(flow)[:, None]
+        want = torch_corr_block(f1t, f2t, flow_t)
+
+        pyr = build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2))
+        coords = coords_grid_x(B, H, W) + jnp.asarray(flow)
+        got = corr_lookup(pyr, coords)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-3, atol=1e-4)
+
+    def test_bilinear_sample_2d(self, rng):
+        B, H, W, C = 2, 6, 8, 4
+        img = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        cx = (rng.uniform(-1, W, (B, H, W))).astype(np.float32)
+        cy = (rng.uniform(-1, H, (B, H, W))).astype(np.float32)
+
+        imt = torch.from_numpy(img).permute(0, 3, 1, 2)
+        xg = 2 * torch.from_numpy(cx) / (W - 1) - 1
+        yg = 2 * torch.from_numpy(cy) / (H - 1) - 1
+        grid = torch.stack([xg, yg], dim=-1)
+        want = F.grid_sample(imt, grid, align_corners=True)
+
+        coords = jnp.stack([jnp.asarray(cx), jnp.asarray(cy)], axis=-1)
+        got = bilinear_sample_2d(jnp.asarray(img), coords)
+        np.testing.assert_allclose(
+            np.asarray(got), want.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-5
+        )
+
+
+def torch_convex_upsample_2d(flow_t, mask_t, rate):
+    N, _, H, W = flow_t.shape
+    mask = mask_t.view(N, 1, 9, rate, rate, H, W)
+    mask = torch.softmax(mask, dim=2)
+    up_flow = F.unfold(rate * flow_t, [3, 3], padding=1)
+    up_flow = up_flow.view(N, 2, 9, 1, 1, H, W)
+    up_flow = torch.sum(mask * up_flow, dim=2)
+    up_flow = up_flow.permute(0, 1, 4, 2, 5, 3)
+    return up_flow.reshape(N, 2, rate * H, rate * W)
+
+
+def torch_convex_upsample_3d(flow_t, mask_t, rate):
+    """unfoldNd-free reimplementation of reference convex_upsample_3d."""
+    N, _, T, H, W = flow_t.shape
+    mask = mask_t.view(N, 1, 27, 1, rate, rate, T, H, W)
+    mask = torch.softmax(mask, dim=2)
+    fp = F.pad(rate * flow_t, (1, 1, 1, 1, 1, 1))
+    taps = [
+        fp[:, :, dt : dt + T, dy : dy + H, dx : dx + W]
+        for dt in range(3)
+        for dy in range(3)
+        for dx in range(3)
+    ]
+    up = torch.stack(taps, dim=2).view(N, 2, 27, 1, 1, 1, T, H, W)
+    up = torch.sum(mask * up, dim=2)
+    up = up.permute(0, 1, 5, 2, 6, 3, 7, 4)
+    return up.reshape(N, 2, T, rate * H, rate * W)
+
+
+class TestConvexUpsample:
+    def test_2d(self, rng):
+        N, H, W, rate = 2, 5, 6, 4
+        flow = rng.standard_normal((N, H, W, 2)).astype(np.float32)
+        mask = rng.standard_normal((N, H, W, 9 * rate * rate)).astype(np.float32)
+        flow_t = torch.from_numpy(flow).permute(0, 3, 1, 2)
+        mask_t = torch.from_numpy(mask).permute(0, 3, 1, 2)
+        want = torch_convex_upsample_2d(flow_t, mask_t, rate)
+        got = convex_upsample_2d(jnp.asarray(flow), jnp.asarray(mask), rate)
+        np.testing.assert_allclose(
+            np.asarray(got), want.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-5
+        )
+
+    def test_3d(self, rng):
+        N, T, H, W, rate = 1, 3, 4, 5, 4
+        flow = rng.standard_normal((N, T, H, W, 2)).astype(np.float32)
+        mask = rng.standard_normal((N, T, H, W, 27 * rate * rate)).astype(np.float32)
+        flow_t = torch.from_numpy(flow).permute(0, 4, 1, 2, 3)
+        mask_t = torch.from_numpy(mask).permute(0, 4, 1, 2, 3)
+        want = torch_convex_upsample_3d(flow_t, mask_t, rate)
+        got = convex_upsample_3d(jnp.asarray(flow), jnp.asarray(mask), rate)
+        np.testing.assert_allclose(
+            np.asarray(got),
+            want.permute(0, 2, 3, 4, 1).numpy(),
+            rtol=1e-4,
+            atol=1e-5,
+        )
+
+
+class TestPadder:
+    @pytest.mark.parametrize("hw", [(30, 50), (32, 64), (33, 65)])
+    def test_roundtrip_and_geometry(self, rng, hw):
+        x = rng.standard_normal((3, *hw, 2)).astype(np.float32)
+        padder = InputPadder(*hw, divis_by=32)
+        (xp,) = padder.pad(jnp.asarray(x))
+        assert xp.shape[-3] % 32 == 0 and xp.shape[-2] % 32 == 0
+        assert padder.padded_hw == (xp.shape[-3], xp.shape[-2])
+
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        ht, wd = hw
+        pad_ht = (((ht // 32) + 1) * 32 - ht) % 32
+        pad_wd = (((wd // 32) + 1) * 32 - wd) % 32
+        tpad = [pad_wd // 2, pad_wd - pad_wd // 2, pad_ht // 2, pad_ht - pad_ht // 2]
+        want = F.pad(xt, tpad, mode="replicate")
+        np.testing.assert_allclose(np.asarray(xp), want.permute(0, 2, 3, 1).numpy())
+
+        back = padder.unpad(xp)
+        np.testing.assert_allclose(np.asarray(back), x)
