@@ -1,0 +1,157 @@
+"""The PPM "play" attention: q over the picked-memory key/value bank.
+
+TPU-native replacement for the reference's flash_attn_func call
+(/root/reference/models/core/ppmstereo.py:550): single-head, non-causal,
+custom softmax scale, bf16 inputs, f32 softmax.
+
+Two paths:
+  * `_play_attention_pallas`: hand-written Pallas flash-attention kernel
+    (online softmax over key blocks; logits never hit HBM). Used on TPU
+    when shapes meet the MXU tiling constraints.
+  * `_play_attention_xla`: chunked XLA fallback (CPU tests, odd shapes).
+
+Shapes: q (B, Lq, D), k/v (B, Lk, D) -> (B, Lq, D). D is the head dim
+(128 in PPMStereo — exactly one MXU lane tile).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_NEG_INF = -1e30
+
+
+def _play_attention_xla(q, k, v, scale, q_chunk: int = 1024):
+    """Blockwise softmax over query chunks; keys stay resident."""
+    b, lq, d = q.shape
+    orig_dtype = q.dtype
+
+    pad = (-lq) % q_chunk
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    nq = q.shape[1] // q_chunk
+    qb = q.reshape(b, nq, q_chunk, d)
+
+    def chunk_fn(q_blk):
+        # q_blk: (B, q_chunk, D)
+        logits = (
+            jnp.einsum("bqd,bkd->bqk", q_blk, k, preferred_element_type=jnp.float32)
+            * scale
+        )
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        return jnp.einsum("bqk,bkd->bqd", probs, v, preferred_element_type=jnp.float32)
+
+    out = jax.lax.map(chunk_fn, jnp.moveaxis(qb, 1, 0))  # (nq, B, q_chunk, D)
+    out = jnp.moveaxis(out, 0, 1).reshape(b, nq * q_chunk, d)
+    return out[:, :lq].astype(orig_dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_len):
+    """Online-softmax flash attention: grid = (batch, q_blocks, k_blocks).
+
+    The k axis is the innermost (fastest) grid dim, so (m, l, acc) scratch
+    carries softmax state across k blocks for a fixed q block.
+    """
+    k_idx = pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (bk, d)
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+
+    # mask out key padding in the last block
+    blk_k = k.shape[0]
+    col = k_idx * blk_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_ref[:]
+    l_prev = l_ref[:]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when(k_idx == num_k - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def _play_attention_pallas(
+    q, k, v, scale, block_q: int = 512, block_k: int = 1024
+):
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+    b, lq, d = q.shape
+    lk = k.shape[1]
+
+    pad_q = (-lq) % block_q
+    pad_k = (-lk) % block_k
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0)))
+    lq_p, lk_p = q.shape[1], k.shape[1]
+
+    grid = (b, lq_p // block_q, lk_p // block_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, kv_len=lk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bi, qi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bi, qi, ki: (bi, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, lq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )(q, k, v)
+    return out[:, :lq]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def play_attention(q, k, v, scale: float, force_xla: bool = False):
+    """Dispatch: Pallas flash kernel on TPU, chunked XLA elsewhere.
+
+    The reference computes this in bf16 (ppmstereo.py:550); callers pass
+    bf16 q/k/v under the mixed-precision policy and the softmax runs in f32
+    either way.
+    """
+    d = q.shape[-1]
+    if force_xla or not _on_tpu() or d % 128 != 0:
+        return _play_attention_xla(q, k, v, scale)
+    return _play_attention_pallas(q, k, v, scale)

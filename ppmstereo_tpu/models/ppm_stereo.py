@@ -1,0 +1,516 @@
+"""PPMStereo: pick-and-play memory video stereo, TPU-native.
+
+Re-design of /root/reference/models/core/ppmstereo.py (PPMStereo). Same
+computation graph — cascaded 1/16 -> 1/8 -> 1/4 RAFT-style refinement with
+an SST attention block, a quality-assessed top-k frame memory ("pick") and
+cross-frame attention aggregation ("play") — but structured for XLA:
+
+  * all tensors are (B, T, H, W, C) channels-last; 2-D convs fold (B, T)
+    into batch implicitly, 3-D convs see T — no layout shuffles;
+  * the refinement loop is a lifted `nn.scan` (compiled once per stage,
+    not unrolled 20x); heads/masks ride the carry so nothing per-iteration
+    is stacked unless training collects it;
+  * the pick is shape-static: `jax.lax.top_k` + gathers instead of
+    argsort + masked_select (same selected set; the play attention is
+    permutation-invariant over keys paired with their scores);
+  * the play step batches target frames into fused flash-attention calls
+    (the reference launches T separate flash-attn kernels per iteration,
+    ppmstereo.py:517-552), chunking the frame axis when the gathered
+    memory bank would not fit comfortably in HBM;
+  * intermediate full-resolution upsampling only happens when training
+    collects per-iteration predictions; inference upsamples once per
+    stage (the reference pays it every iteration, ppmstereo.py:573-587).
+
+Disparity sign conventions, stage-boundary negations and the uncertainty
+path match the reference exactly (ppmstereo.py:601-810).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ppmstereo_tpu.kernels.play_attention import play_attention
+from ppmstereo_tpu.nn.attention import (
+    LocalFeatureTransformer,
+    TimeAttnBlock,
+    position_encoding_sine,
+    temporal_positional_encoding,
+)
+from ppmstereo_tpu.nn.convnext import ContextNet
+from ppmstereo_tpu.nn.encoder import BasicEncoder
+from ppmstereo_tpu.nn.motion import AttentionQK
+from ppmstereo_tpu.nn.update import SequenceUpdateBlock3D
+from ppmstereo_tpu.ops.corr import build_corr_pyramid, corr_lookup
+from ppmstereo_tpu.ops.geometry import (
+    adaptive_max_pool2d,
+    avg_pool2d,
+    coords_grid_x,
+    cosine_similarity_matrix,
+    interp_bilinear,
+)
+from ppmstereo_tpu.ops.upsample import convex_upsample_2d, convex_upsample_3d
+
+# Gathered-memory footprint (elements) above which the play step processes
+# target frames in chunks instead of one batched gather+attention.
+_PLAY_CHUNK_BUDGET = 192 * 1024 * 1024
+
+
+@dataclass(frozen=True)
+class PPMStereoConfig:
+    """Shipped configuration of the reference
+    (train.py:425-447 defaults; models/ppm_stereo_model.py:27-33)."""
+
+    hidden_dim: int = 128
+    context_dim: int = 128
+    dim: int = 256
+    num_frames: int = 5
+    attention_type: str = "self_stereo_temporal_update_time_update_space"
+    sst_depth: int = 4
+    use_cnet: bool = True
+    use_convex_3d: bool = True
+    different_update_blocks: bool = True
+    top_k: int = 5
+    corr_levels: int = 4
+    corr_radius: int = 4
+    mixed_precision: bool = True
+    force_xla_attention: bool = False
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.mixed_precision else jnp.float32
+
+
+def _resize_video(x: jax.Array, hw: tuple[int, int]) -> jax.Array:
+    """align_corners=True bilinear on (B, T, H, W, C)."""
+    return interp_bilinear(x, hw)
+
+
+def _interp_nearest_time(embed: jax.Array, t: int) -> jax.Array:
+    """torch F.interpolate(mode='nearest') along the frame axis of the
+    learned time embedding (ppmstereo.py:349-353). embed: (1, T0, C)."""
+    t0 = embed.shape[1]
+    if t0 == t:
+        return embed
+    idx = np.floor(np.arange(t) * t0 / t).astype(np.int32)
+    return embed[:, jnp.asarray(idx)]
+
+
+def _interp_ac_false(x: jax.Array, scale: int) -> jax.Array:
+    """torch F.interpolate(mode='bilinear', align_corners=False) upsample by
+    an integer factor on (..., H, W, C) — the uncertainty-map resize
+    (ppmstereo.py:578)."""
+    h, w = x.shape[-3], x.shape[-2]
+
+    def axis_resize(y, axis, isz):
+        osz = isz * scale
+        pos = (np.arange(osz, dtype=np.float64) + 0.5) / scale - 0.5
+        i0 = np.floor(pos)
+        frac = (pos - i0).astype(np.float32)
+        i0c = np.clip(i0.astype(np.int64), 0, isz - 1)
+        i1c = np.clip(i0.astype(np.int64) + 1, 0, isz - 1)
+        y0 = jnp.take(y, jnp.asarray(i0c), axis=axis)
+        y1 = jnp.take(y, jnp.asarray(i1c), axis=axis)
+        shape = [1] * y.ndim
+        shape[axis] = osz
+        wgt = jnp.asarray(frac).reshape(shape).astype(y.dtype)
+        return y0 * (1 - wgt) + y1 * wgt
+
+    x = axis_resize(x, x.ndim - 3, h)
+    x = axis_resize(x, x.ndim - 2, w)
+    return x
+
+
+def _upsample_flow(cfg: PPMStereoConfig, flow, mask):
+    """Stage-final convex upsample (rate 4)."""
+    if cfg.use_convex_3d:
+        return convex_upsample_3d(flow, mask, rate=4)
+    b, t, h, w, _ = flow.shape
+    up = convex_upsample_2d(
+        flow.reshape(b * t, h, w, 2), mask.reshape(b * t, h, w, -1), rate=4
+    )
+    return up.reshape(b, t, 4 * h, 4 * w, 2)
+
+
+class PPMUpdateLoop(nn.Module):
+    """One cascade stage: `iters` scanned pick-and-play iterations
+    (reference forward_update_block, ppmstereo.py:426-594)."""
+
+    cfg: PPMStereoConfig
+    iters: int
+    interp_scale: int
+    collect_preds: bool
+    attention_type: str | None = None
+
+    def setup(self):
+        self.update_block = SequenceUpdateBlock3D(
+            hidden_dim=self.cfg.hidden_dim,
+            cor_planes=self.cfg.corr_levels * (2 * self.cfg.corr_radius + 1),
+            mask_size=4,
+            use_convex_3d=self.cfg.use_convex_3d,
+            attention_type=self.attention_type,
+            dtype=self.cfg.dtype,
+        )
+
+    def init_motion_hidden_state(self, inp):
+        return self.update_block.init_motion_hidden_state(inp)
+
+    def _play(self, query_pe, key_aug, value, idx, score_norm):
+        """Gather the picked memory frames and attend.
+
+        query_pe: (B,T,H,W,C); key_aug: (B,T,H,W,2C); value: (B,T,H,W,C);
+        idx: (b,t,k) picked frame indices per target row; score_norm:
+        (b,t,k). Returns (B,T,H,W,C).
+        """
+        cfg = self.cfg
+        b, t, h, w, c = query_pe.shape
+        k = cfg.top_k
+        scale = c**-0.5 * math.log(2 * c, 12000)
+
+        def rows(q_r, idx_r, sc_r):
+            # q_r: (B,R,H,W,C); idx_r: (b,R,k); sc_r: (b,R,k)
+            r = q_r.shape[1]
+            gi = idx_r[:, :, :, None, None, None]
+
+            def gather(x, ch):
+                xb = jnp.broadcast_to(x[:, None], (b, r, t, h, w, ch))
+                return jnp.take_along_axis(
+                    xb, jnp.broadcast_to(gi, (b, r, k, h, w, ch)), axis=2
+                )
+
+            sel_key = gather(key_aug, 2 * c)
+            sel_val = gather(value, c)
+            modw = sc_r[:, :, :, None, None, None].astype(sel_key.dtype)
+            sel_key = sel_key[..., :c] * modw + sel_key[..., c:]
+
+            q_tok = q_r.reshape(b * r, h * w, c).astype(jnp.bfloat16)
+            k_tok = sel_key.reshape(b * r, k * h * w, c).astype(jnp.bfloat16)
+            v_tok = sel_val.reshape(b * r, k * h * w, c).astype(jnp.bfloat16)
+            out = play_attention(
+                q_tok, k_tok, v_tok, scale, force_xla=cfg.force_xla_attention
+            )
+            return out.reshape(b, r, h, w, c)
+
+        bank_elems = b * t * k * h * w * 2 * c
+        if bank_elems <= _PLAY_CHUNK_BUDGET:
+            return rows(query_pe, idx, score_norm).astype(cfg.dtype)
+
+        # chunk the target-frame axis to bound the gathered bank size
+        rows_per = max(1, _PLAY_CHUNK_BUDGET // max(b * k * h * w * 2 * c, 1))
+        outs = []
+        for s in range(0, t, rows_per):
+            e = min(s + rows_per, t)
+            outs.append(rows(query_pe[:, s:e], idx[:, s:e], score_norm[:, s:e]))
+        return jnp.concatenate(outs, axis=1).astype(cfg.dtype)
+
+    def __call__(
+        self, pyramid, coords0, query_pe, key_aug, sim_score,
+        flow, net, inp, motion_hidden,
+    ):
+        cfg = self.cfg
+        b, t, h, w, _ = flow.shape
+
+        mask_ch = (27 if cfg.use_convex_3d else 9) * 16
+        mask0 = jnp.zeros((b, t, h, w, mask_ch), cfg.dtype)
+        unc0 = jnp.zeros((b, t, h, w, 1), cfg.dtype)
+        strive = jnp.ones((b, t, t), jnp.float32)
+
+        def step(module, carry, _):
+            flow, net, motion_hidden, strive, _, _ = carry
+
+            # 1. pyramid lookup around current disparity (f32)
+            coords_x = coords0 + flow[..., 0].reshape(b * t, h, w)
+            corrs = corr_lookup(pyramid, coords_x, cfg.corr_radius)
+            corrs = corrs.reshape(b, t, h, w, -1).astype(cfg.dtype)
+
+            # 2. motion features + recurrent state + value
+            motion, motion_hidden, value = module.update_block.get_motion_and_value(
+                flow.astype(cfg.dtype), corrs, motion_hidden
+            )
+
+            # 3. quality scores (QAM)
+            uncertainty = module.update_block.get_uncertainty(
+                jnp.concatenate([net, value], axis=-1)
+            )
+            unc32 = uncertainty.astype(jnp.float32)
+            penalty = jnp.exp(-strive / (jnp.sum(strive, -1, keepdims=True) + t))
+            frame_conf = jnp.mean(unc32, axis=(2, 3, 4))  # (b, t) per candidate
+            frame_score = penalty * sim_score + frame_conf[:, None, :]
+
+            # 4. pick top-k frames per target row, bump usage counters
+            sel_score, idx = jax.lax.top_k(frame_score, cfg.top_k)
+            picked = jnp.sum(jax.nn.one_hot(idx, t, dtype=strive.dtype), axis=-2)
+            strive = strive + picked
+            # normalize by the mean over (batch, k) per target row
+            # (the reference's scalar .mean() over its (b,1,k) slice,
+            # ppmstereo.py:533)
+            score_norm = sel_score / jnp.mean(sel_score, axis=(0, 2), keepdims=True)
+
+            # 5. play: attend over the picked memory
+            hidden_states = module._play(query_pe, key_aug, value, idx, score_norm)
+            beta = module.update_block.aggregator.beta.astype(cfg.dtype)
+            motion_global = motion + beta * hidden_states
+
+            # 6. GRU update + heads
+            net, mask, delta = module.update_block(net, inp, motion, motion_global)
+            flow = flow + delta.astype(jnp.float32)
+
+            carry = (flow, net, motion_hidden, strive, mask, uncertainty)
+            if not self.collect_preds:
+                return carry, None
+
+            flow_up = _upsample_flow(cfg, flow, mask)
+            unc_up = _interp_ac_false(unc32, 4 * self.interp_scale)
+            if self.interp_scale > 1:
+                oh = self.interp_scale * flow_up.shape[2]
+                ow = self.interp_scale * flow_up.shape[3]
+                flow_up = self.interp_scale * _resize_video(flow_up, (oh, ow))
+            return carry, (flow_up[..., :1], unc_up)
+
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=self.iters,
+        )
+        carry, ys = scan(self, (flow, net, motion_hidden, strive, mask0, unc0), None)
+        flow, net, motion_hidden, _, mask_last, unc_last = carry
+
+        flow_out = _upsample_flow(cfg, flow, mask_last)
+        preds, uncs = ys if self.collect_preds else (None, None)
+        return flow, flow_out, net, motion_hidden, preds, uncs, unc_last
+
+
+class PPMStereo(nn.Module):
+    """Full forward graph over (B, T, H, W, 3) [0,255] stereo clips.
+
+    `iters` and `test_mode` are Python-static (two compiled graphs:
+    train collects per-iteration predictions, eval does not).
+    """
+
+    cfg: PPMStereoConfig = PPMStereoConfig()
+    iters: int = 10
+    test_mode: bool = False
+
+    def setup(self):
+        cfg = self.cfg
+        if not cfg.different_update_blocks:
+            raise NotImplementedError(
+                "shared update blocks across scales are not supported; the "
+                "shipped reference config uses different_update_blocks=True"
+            )
+        self.fnet = BasicEncoder(output_dim=cfg.dim, norm_fn="instance", dtype=cfg.dtype)
+        if cfg.use_cnet:
+            self.cnet = ContextNet("tiny", output_dim=cfg.dim, dtype=cfg.dtype)
+        self.att = [
+            AttentionQK(dim_head=cfg.context_dim, dtype=cfg.dtype) for _ in range(3)
+        ]
+
+        at = cfg.attention_type or ""
+        if "update_time" in at or "temporal" in at:
+            self.time_embed = self.param(
+                "time_embed", nn.initializers.zeros, (1, cfg.num_frames, cfg.dim)
+            )
+        if "temporal" in at:
+            self.time_attn_blocks = [
+                TimeAttnBlock(dim=cfg.dim, num_heads=8, dtype=cfg.dtype)
+                for _ in range(cfg.sst_depth)
+            ]
+        if "self_stereo" in at:
+            self.self_attn_blocks = [
+                LocalFeatureTransformer(cfg.dim, 8, ("self",), "linear", dtype=cfg.dtype)
+                for _ in range(cfg.sst_depth)
+            ]
+            self.cross_attn_blocks = [
+                LocalFeatureTransformer(cfg.dim, 8, ("cross",), "linear", dtype=cfg.dtype)
+                for _ in range(cfg.sst_depth)
+            ]
+
+        collect = not self.test_mode
+        self.loop16 = PPMUpdateLoop(
+            cfg=cfg, iters=max(self.iters // 2, 1), interp_scale=4,
+            collect_preds=collect,
+            attention_type=cfg.attention_type, name="update_block16",
+        )
+        self.loop08 = PPMUpdateLoop(
+            cfg=cfg, iters=max(self.iters // 2, 1), interp_scale=2,
+            collect_preds=collect, name="update_block08",
+        )
+        self.loop04 = PPMUpdateLoop(
+            cfg=cfg, iters=self.iters, interp_scale=1,
+            collect_preds=collect, name="update_block04",
+        )
+
+    # ---------------------------------------------------------------- SST
+    def forward_sst_block(self, f1, f2):
+        """Space-super-time attention at 1/16 (reference ppmstereo.py:322-395)."""
+        cfg = self.cfg
+        b, t, h, w, d = f1.shape
+        at = cfg.attention_type or ""
+
+        pe = jnp.asarray(position_encoding_sine(h, w, d), dtype=f1.dtype)
+        f1 = f1 + pe
+        f2 = f2 + pe
+
+        if "temporal" in at or "update_time" in at:
+            te = _interp_nearest_time(self.time_embed, t).astype(f1.dtype)
+            f1 = f1 + te[:, :, None, None, :]
+            f2 = f2 + te[:, :, None, None, :]
+
+        if "self_stereo" in at or "temporal" in at:
+            for i in range(cfg.sst_depth):
+                if "self_stereo" in at:
+                    t1 = f1.reshape(b * t, h * w, d)
+                    t2 = f2.reshape(b * t, h * w, d)
+                    t1, t2 = self.self_attn_blocks[i](t1, t2)
+                    t1, t2 = self.cross_attn_blocks[i](t1, t2)
+                    f1 = t1.reshape(b, t, h, w, d)
+                    f2 = t2.reshape(b, t, h, w, d)
+                if "temporal" in at:
+                    f1 = self.time_attn_blocks[i](f1)
+                    f2 = self.time_attn_blocks[i](f2)
+        return f1, f2
+
+    # ------------------------------------------------------------- QAM sim
+    def compute_qk_similarity(self, query, key):
+        """Cosine similarity of pooled per-frame descriptors
+        (reference ppmstereo.py:397-423): (B,T,H,W,C) -> (b,t,t)."""
+        b, t, h, w, _ = query.shape
+        oh, ow = max(h // 4, 1), max(w // 4, 1)
+        qp = adaptive_max_pool2d(query.astype(jnp.float32), (oh, ow))
+        kp = adaptive_max_pool2d(key.astype(jnp.float32), (oh, ow))
+        qv = jnp.mean(qp, axis=-1).reshape(b, t, oh * ow)
+        kv = jnp.mean(kp, axis=-1).reshape(b, t, oh * ow)
+        return cosine_similarity_matrix(qv, kv)
+
+    def _stage_inputs(self, stage, fmap1, fmap2, inp):
+        """Correlation pyramid + q/k (+ temporal PE augmentation)."""
+        cfg = self.cfg
+        b, t, h, w, _ = fmap1.shape
+        c = cfg.context_dim
+
+        pyramid = build_corr_pyramid(
+            fmap1.reshape(b * t, h, w, -1),
+            fmap2.reshape(b * t, h, w, -1),
+            cfg.corr_levels,
+        )
+        coords0 = coords_grid_x(b * t, h, w)
+
+        query, key = self.att[stage](inp)
+        sim_score = self.compute_qk_similarity(query, key)
+
+        te = jnp.asarray(
+            temporal_positional_encoding(t, c, normalize=True, scale=1.0),
+            dtype=cfg.dtype,
+        )
+        te_b = te[None, :, None, None, :]
+        key_aug = jnp.concatenate([key, jnp.broadcast_to(te_b, key.shape)], axis=-1)
+        query_pe = query + te_b
+        return pyramid, coords0, query_pe, key_aug, sim_score
+
+    # --------------------------------------------------------------- forward
+    def __call__(self, image1, image2):
+        """image1/image2: (B, T, H, W, 3) in [0, 255].
+
+        test_mode=True  -> (disparity (B,T,H,W,1), uncertainty (B,T,H,W,1))
+        test_mode=False -> (predictions (n_total_iters, B, T, H, W, 1),
+                            uncertainties (n_total_iters, B, T, H, W, 1))
+        """
+        cfg = self.cfg
+        dtype = cfg.dtype
+        b = image1.shape[0]
+
+        image1 = (2.0 * (image1 / 255.0) - 1.0).astype(dtype)
+        image2 = (2.0 * (image2 / 255.0) - 1.0).astype(dtype)
+
+        both = jnp.concatenate([image1, image2], axis=0)
+        fmaps = self.fnet(both)
+        fmap1, fmap2 = fmaps[:b], fmaps[b:]
+
+        hdim = cfg.hidden_dim
+        net = fmap1[..., :hdim]
+        inp = fmap1[..., hdim:]
+        if cfg.use_cnet:
+            cnet4, cnet8, cnet16 = self.cnet(image1)
+            net = (net + cnet4[..., :hdim]) / 2.0
+            inp = (inp + cnet4[..., hdim:]) / 2.0
+        net = jnp.tanh(net)
+        inp = nn.relu(inp)
+
+        t = fmap1.shape[1]
+        h4, w4 = fmap1.shape[2], fmap1.shape[3]
+
+        f1_16 = avg_pool2d(fmap1, 4, 4)
+        f2_16 = avg_pool2d(fmap2, 4, 4)
+        f1_16, f2_16 = self.forward_sst_block(f1_16, f2_16)
+
+        net16 = f1_16[..., :hdim]
+        inp16 = f1_16[..., hdim:]
+        if cfg.use_cnet:
+            net16 = (net16 + cnet16[..., :hdim]) / 2.0
+            inp16 = (inp16 + cnet16[..., hdim:]) / 2.0
+        net16 = jnp.tanh(net16)
+        inp16 = nn.relu(inp16)
+
+        f1_8 = (avg_pool2d(fmap1, 2, 2) + _resize_video(f1_16, (h4 // 2, w4 // 2))) / 2.0
+        f2_8 = (avg_pool2d(fmap2, 2, 2) + _resize_video(f2_16, (h4 // 2, w4 // 2))) / 2.0
+
+        net8 = f1_8[..., :hdim]
+        inp8 = f1_8[..., hdim:]
+        if cfg.use_cnet:
+            net8 = (net8 + cnet8[..., :hdim]) / 2.0
+            inp8 = (inp8 + cnet8[..., hdim:]) / 2.0
+        net8 = jnp.tanh(net8)
+        inp8 = nn.relu(inp8)
+
+        all_preds, all_uncs = [], []
+
+        # ---- stage 1/16
+        flow16 = jnp.zeros((b, t, h4 // 4, w4 // 4, 2), jnp.float32)
+        mh16 = self.loop16.init_motion_hidden_state(inp16)
+        stage_in = self._stage_inputs(0, f1_16, f2_16, inp16)
+        _, flow_out16, net16, mh16, p, u, _ = self.loop16(
+            *stage_in, flow16, net16, inp16, mh16
+        )
+        if p is not None:
+            all_preds.append(p)
+            all_uncs.append(u)
+
+        # ---- stage 1/8
+        h8, w8 = h4 // 2, w4 // 2
+        flow8 = -(h8 / flow_out16.shape[2]) * _resize_video(flow_out16, (h8, w8))
+        mh8 = _resize_video(mh16, (h8, w8))
+        net8 = (net8 + _resize_video(net16, (h8, w8))) / 2.0
+        stage_in = self._stage_inputs(1, f1_8, f2_8, inp8)
+        _, flow_out8, net8, mh8, p, u, _ = self.loop08(
+            *stage_in, flow8, net8, inp8, mh8
+        )
+        if p is not None:
+            all_preds.append(p)
+            all_uncs.append(u)
+
+        # ---- stage 1/4
+        flow4 = -(h4 / flow_out8.shape[2]) * _resize_video(flow_out8, (h4, w4))
+        mh4 = _resize_video(mh8, (h4, w4))
+        net = (net + _resize_video(net8, (h4, w4))) / 2.0
+        stage_in = self._stage_inputs(2, fmap1, fmap2, inp)
+        _, flow_out4, net, mh4, p, u, unc_last = self.loop04(
+            *stage_in, flow4, net, inp, mh4
+        )
+        if p is not None:
+            all_preds.append(p)
+            all_uncs.append(u)
+
+        if self.test_mode:
+            disparity = flow_out4[..., :1]
+            uncertainty = _interp_ac_false(unc_last.astype(jnp.float32), 4)
+            return disparity, uncertainty
+
+        predictions = jnp.concatenate(all_preds, axis=0)
+        uncertainties = jnp.concatenate(all_uncs, axis=0)
+        return predictions, uncertainties

@@ -1,0 +1,78 @@
+"""End-to-end shape/sanity tests for the PPMStereo flax model (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig
+
+TINY = PPMStereoConfig(
+    mixed_precision=False,
+    use_cnet=False,
+    top_k=2,
+    force_xla_attention=True,
+)
+
+
+def _clip(b=1, t=3, h=64, w=128):
+    rng = np.random.default_rng(1)
+    left = rng.uniform(0, 255, (b, t, h, w, 3)).astype(np.float32)
+    right = rng.uniform(0, 255, (b, t, h, w, 3)).astype(np.float32)
+    return jnp.asarray(left), jnp.asarray(right)
+
+
+class TestPPMForward:
+    def test_eval_forward_shapes(self):
+        left, right = _clip()
+        model = PPMStereo(cfg=TINY, iters=2, test_mode=True)
+        params = model.init(jax.random.PRNGKey(0), left, right)
+        disp, unc = model.apply(params, left, right)
+        assert disp.shape == (1, 3, 64, 128, 1)
+        assert unc.shape == (1, 3, 64, 128, 1)
+        assert np.isfinite(np.asarray(disp)).all()
+        assert np.isfinite(np.asarray(unc)).all()
+        assert (np.asarray(unc) >= 0).all() and (np.asarray(unc) <= 1).all()
+
+    def test_train_forward_collects_all_iterations(self):
+        left, right = _clip()
+        model = PPMStereo(cfg=TINY, iters=2, test_mode=False)
+        params = model.init(jax.random.PRNGKey(0), left, right)
+        preds, uncs = model.apply(params, left, right)
+        # iters//2 + iters//2 + iters = 1 + 1 + 2
+        assert preds.shape == (4, 1, 3, 64, 128, 1)
+        assert uncs.shape == (4, 1, 3, 64, 128, 1)
+        assert np.isfinite(np.asarray(preds)).all()
+
+    def test_eval_matches_train_last_iteration(self):
+        """The stage-final upsample (eval path) must equal the last
+        collected training prediction."""
+        left, right = _clip()
+        train_model = PPMStereo(cfg=TINY, iters=2, test_mode=False)
+        params = train_model.init(jax.random.PRNGKey(0), left, right)
+        preds, uncs = train_model.apply(params, left, right)
+
+        eval_model = PPMStereo(cfg=TINY, iters=2, test_mode=True)
+        disp, unc = eval_model.apply(params, left, right)
+        np.testing.assert_allclose(
+            np.asarray(disp), np.asarray(preds[-1]), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(unc), np.asarray(uncs[-1]), rtol=1e-5, atol=1e-5
+        )
+
+    def test_grads_flow(self):
+        left, right = _clip(t=3, h=32, w=128)
+        model = PPMStereo(cfg=TINY, iters=2, test_mode=False)
+        params = model.init(jax.random.PRNGKey(0), left, right)
+
+        def loss_fn(p):
+            preds, _ = model.apply(p, left, right)
+            return jnp.mean(jnp.abs(preds))
+
+        g = jax.grad(loss_fn)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        # at least some gradient mass reaches the encoder
+        gnorm = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+        assert gnorm > 0
