@@ -1,0 +1,87 @@
+"""Benchmark: frames/s/chip for PPMStereo sliding-window inference.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
+
+Config ladder (BASELINE.json "configs"), selected with BENCH_CONFIG:
+  short (default): 320x512, T=10 window, iters=10  — config #2
+  full:            720p (736x1280 padded), T=20 window, iters=20 — config #3
+
+vs_baseline compares against an A100 estimate for the PyTorch reference
+derived in BASELINE.md terms: the reference publishes no numbers and no
+GPU is available here, so the baseline is a roofline-based estimate
+documented in BENCH_NOTES.md (updated when better evidence exists).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+# A100 reference fps/GPU estimates for the matching config (see BENCH_NOTES.md)
+A100_BASELINE_FPS = {
+    "short": 8.0,   # 320x512, kernel 10, iters 10
+    "full": 1.0,    # 720p, kernel 20, iters 20
+}
+
+
+def main():
+    config = os.environ.get("BENCH_CONFIG", "short")
+    if config == "full":
+        h, w, t_window, iters = 720, 1280, 20, 20
+    else:
+        h, w, t_window, iters = 320, 512, 10, 10
+
+    import jax
+    import jax.numpy as jnp
+
+    from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig
+    from ppmstereo_tpu.models.inference import SlidingWindowPredictor
+
+    cfg = PPMStereoConfig(mixed_precision=True, use_cnet=True)
+    model = PPMStereo(cfg=cfg, iters=iters, test_mode=True)
+
+    rng = np.random.default_rng(0)
+    n_frames = 2 * t_window  # two windows + tail coverage
+    video = rng.uniform(0, 255, (n_frames, 2, h, w, 3)).astype(np.float32)
+
+    # init params at padded window shape
+    from ppmstereo_tpu.ops.padding import InputPadder
+
+    padder = InputPadder(h, w, divis_by=32)
+    ph, pw = padder.padded_hw
+    init_l = jnp.zeros((1, t_window, ph, pw, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), init_l, init_l)
+
+    def window_fn(left, right):
+        return model.apply(params, left, right)
+
+    predictor = SlidingWindowPredictor(window_fn, kernel_size=t_window)
+
+    # warmup (compile)
+    _ = predictor(video[: t_window + t_window // 2])
+
+    t0 = time.perf_counter()
+    out = predictor(video)
+    n_out = len(out["disparity"])
+    dt = time.perf_counter() - t0
+
+    fps = n_out / dt
+    baseline = A100_BASELINE_FPS[config]
+    print(
+        json.dumps(
+            {
+                "metric": f"ppmstereo_{config}_{h}x{w}_k{t_window}_i{iters} frames/s/chip",
+                "value": round(fps, 3),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -71,28 +71,36 @@ def upsample2x_nearest(x: jax.Array) -> jax.Array:
 
 
 def avg_pool2d(x: jax.Array, window: int, stride: int | None = None) -> jax.Array:
-    """Average pool over the (H, W) axes of (..., H, W, C)."""
+    """Average pool over the (H, W) axes of (..., H, W, C).
+
+    window == stride (the only case the pipeline uses) lowers to a
+    reshape+mean — a pure layout op plus a reduction, trivially
+    differentiable and fusion-friendly.
+    """
     stride = stride or window
-    dims = [1] * x.ndim
-    strides = [1] * x.ndim
-    dims[x.ndim - 3] = dims[x.ndim - 2] = window
-    strides[x.ndim - 3] = strides[x.ndim - 2] = stride
-    summed = jax.lax.reduce_window(
-        x, jnp.array(0, x.dtype), jax.lax.add, dims, strides, "VALID"
-    )
-    return summed / jnp.array(window * window, x.dtype)
+    if stride != window:
+        dims = [1] * x.ndim
+        strides = [1] * x.ndim
+        dims[x.ndim - 3] = dims[x.ndim - 2] = window
+        strides[x.ndim - 3] = strides[x.ndim - 2] = stride
+        summed = jax.lax.reduce_window(
+            x, jnp.array(0, x.dtype), jax.lax.add, dims, strides, "VALID"
+        )
+        return summed / jnp.array(window * window, x.dtype)
+    *lead, h, w, c = x.shape
+    hh, ww = h // window, w // window
+    x = x[..., : hh * window, : ww * window, :]
+    x = x.reshape(*lead, hh, window, ww, window, c)
+    return jnp.mean(x, axis=(-4, -2))
 
 
 def avg_pool_w(x: jax.Array, window: int = 2, stride: int = 2) -> jax.Array:
-    """Average pool along the last axis (used for the 1-D corr pyramid)."""
-    dims = [1] * x.ndim
-    strides = [1] * x.ndim
-    dims[-1] = window
-    strides[-1] = stride
-    summed = jax.lax.reduce_window(
-        x, jnp.array(0, x.dtype), jax.lax.add, dims, strides, "VALID"
-    )
-    return summed / jnp.array(window, x.dtype)
+    """Average pool along the last axis (the 1-D corr pyramid)."""
+    assert window == stride == 2
+    *lead, n = x.shape
+    nn_ = n // 2
+    x = x[..., : nn_ * 2].reshape(*lead, nn_, 2)
+    return jnp.mean(x, axis=-1)
 
 
 def _adaptive_bounds(in_size: int, out_size: int) -> list[tuple[int, int]]:
@@ -114,13 +122,9 @@ def adaptive_max_pool2d(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     h_out, w_out = out_hw
     if h_in % h_out == 0 and w_in % w_out == 0:
         kh, kw = h_in // h_out, w_in // w_out
-        dims = [1] * x.ndim
-        strides = [1] * x.ndim
-        dims[x.ndim - 3], dims[x.ndim - 2] = kh, kw
-        strides[x.ndim - 3], strides[x.ndim - 2] = kh, kw
-        return jax.lax.reduce_window(
-            x, jnp.array(-np.inf, x.dtype), jax.lax.max, dims, strides, "VALID"
-        )
+        *lead, _, _, c = x.shape
+        xr = x.reshape(*lead, h_out, kh, w_out, kw, c)
+        return jnp.max(xr, axis=(-4, -2))
     h_axis, w_axis = x.ndim - 3, x.ndim - 2
     rows = [
         jnp.max(jax.lax.slice_in_dim(x, s, e, axis=h_axis), axis=h_axis)
