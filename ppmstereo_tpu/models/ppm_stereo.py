@@ -36,13 +36,9 @@ import numpy as np
 from flax import linen as nn
 
 from ppmstereo_tpu.kernels.play_attention import play_attention
-from ppmstereo_tpu.nn.attention import (
-    LocalFeatureTransformer,
-    TimeAttnBlock,
-    position_encoding_sine,
-    temporal_positional_encoding,
-)
+from ppmstereo_tpu.nn.attention import temporal_positional_encoding
 from ppmstereo_tpu.nn.convnext import ContextNet
+from ppmstereo_tpu.nn.sst import SSTBlock
 from ppmstereo_tpu.nn.encoder import BasicEncoder
 from ppmstereo_tpu.nn.motion import AttentionQK
 from ppmstereo_tpu.nn.update import SequenceUpdateBlock3D
@@ -89,16 +85,6 @@ class PPMStereoConfig:
 def _resize_video(x: jax.Array, hw: tuple[int, int]) -> jax.Array:
     """align_corners=True bilinear on (B, T, H, W, C)."""
     return interp_bilinear(x, hw)
-
-
-def _interp_nearest_time(embed: jax.Array, t: int) -> jax.Array:
-    """torch F.interpolate(mode='nearest') along the frame axis of the
-    learned time embedding (ppmstereo.py:349-353). embed: (1, T0, C)."""
-    t0 = embed.shape[1]
-    if t0 == t:
-        return embed
-    idx = np.floor(np.arange(t) * t0 / t).astype(np.int32)
-    return embed[:, jnp.asarray(idx)]
 
 
 def _interp_ac_false(x: jax.Array, scale: int) -> jax.Array:
@@ -310,26 +296,10 @@ class PPMStereo(nn.Module):
         self.att = [
             AttentionQK(dim_head=cfg.context_dim, dtype=cfg.dtype) for _ in range(3)
         ]
-
-        at = cfg.attention_type or ""
-        if "update_time" in at or "temporal" in at:
-            self.time_embed = self.param(
-                "time_embed", nn.initializers.zeros, (1, cfg.num_frames, cfg.dim)
-            )
-        if "temporal" in at:
-            self.time_attn_blocks = [
-                TimeAttnBlock(dim=cfg.dim, num_heads=8, dtype=cfg.dtype)
-                for _ in range(cfg.sst_depth)
-            ]
-        if "self_stereo" in at:
-            self.self_attn_blocks = [
-                LocalFeatureTransformer(cfg.dim, 8, ("self",), "linear", dtype=cfg.dtype)
-                for _ in range(cfg.sst_depth)
-            ]
-            self.cross_attn_blocks = [
-                LocalFeatureTransformer(cfg.dim, 8, ("cross",), "linear", dtype=cfg.dtype)
-                for _ in range(cfg.sst_depth)
-            ]
+        self.sst = SSTBlock(
+            dim=cfg.dim, depth=cfg.sst_depth, num_frames=cfg.num_frames,
+            attention_type=cfg.attention_type, dtype=cfg.dtype,
+        )
 
         collect = not self.test_mode
         self.loop16 = PPMUpdateLoop(
@@ -345,36 +315,6 @@ class PPMStereo(nn.Module):
             cfg=cfg, iters=self.iters, interp_scale=1,
             collect_preds=collect, name="update_block04",
         )
-
-    # ---------------------------------------------------------------- SST
-    def forward_sst_block(self, f1, f2):
-        """Space-super-time attention at 1/16 (reference ppmstereo.py:322-395)."""
-        cfg = self.cfg
-        b, t, h, w, d = f1.shape
-        at = cfg.attention_type or ""
-
-        pe = jnp.asarray(position_encoding_sine(h, w, d), dtype=f1.dtype)
-        f1 = f1 + pe
-        f2 = f2 + pe
-
-        if "temporal" in at or "update_time" in at:
-            te = _interp_nearest_time(self.time_embed, t).astype(f1.dtype)
-            f1 = f1 + te[:, :, None, None, :]
-            f2 = f2 + te[:, :, None, None, :]
-
-        if "self_stereo" in at or "temporal" in at:
-            for i in range(cfg.sst_depth):
-                if "self_stereo" in at:
-                    t1 = f1.reshape(b * t, h * w, d)
-                    t2 = f2.reshape(b * t, h * w, d)
-                    t1, t2 = self.self_attn_blocks[i](t1, t2)
-                    t1, t2 = self.cross_attn_blocks[i](t1, t2)
-                    f1 = t1.reshape(b, t, h, w, d)
-                    f2 = t2.reshape(b, t, h, w, d)
-                if "temporal" in at:
-                    f1 = self.time_attn_blocks[i](f1)
-                    f2 = self.time_attn_blocks[i](f2)
-        return f1, f2
 
     # ------------------------------------------------------------- QAM sim
     def compute_qk_similarity(self, query, key):
@@ -447,7 +387,7 @@ class PPMStereo(nn.Module):
 
         f1_16 = avg_pool2d(fmap1, 4, 4)
         f2_16 = avg_pool2d(fmap2, 4, 4)
-        f1_16, f2_16 = self.forward_sst_block(f1_16, f2_16)
+        f1_16, f2_16 = self.sst(f1_16, f2_16)
 
         net16 = f1_16[..., :hdim]
         inp16 = f1_16[..., hdim:]

@@ -18,8 +18,8 @@ from jax.nn.initializers import zeros
 
 from ppmstereo_tpu.nn.attention import SpaceAttnBlock, TimeAttnBlock
 from ppmstereo_tpu.nn.common import Conv
-from ppmstereo_tpu.nn.gru import SKSepConvGRU3D
-from ppmstereo_tpu.nn.motion import BasicMotionEncoderV2
+from ppmstereo_tpu.nn.gru import SepConvGRU3D, SKSepConvGRU3D
+from ppmstereo_tpu.nn.motion import BasicMotionEncoder, BasicMotionEncoderV2
 
 
 class FlowHead(nn.Module):
@@ -109,6 +109,47 @@ class SequenceUpdateBlock3D(nn.Module):
         Returns (net, mask(27·ms² or 9·ms²), delta_flow(2)).
         """
         x = jnp.concatenate([inp, motion_features, motion_features_global], axis=-1)
+        if self.attention_type is not None and "update_time" in self.attention_type:
+            x = self.time_attn(x)
+        if self.attention_type is not None and "update_space" in self.attention_type:
+            x = self.space_attn(x)
+
+        net = self.gru(net, x)
+        delta_flow = self.flow_head(net)
+        mask = 0.25 * self.mask_conv2(nn.relu(self.mask_conv1(net)))
+        return net, mask, delta_flow
+
+
+class DSSequenceUpdateBlock3D(nn.Module):
+    """DynamicStereo's update cell (reference
+    /root/reference/models/core/update.py:481-525): BasicMotionEncoder +
+    plain SepConvGRU3D + FlowHead3D + 2-D convex-upsample mask head,
+    with optional time/space attention on the GRU input at 1/16."""
+
+    hidden_dim: int = 128
+    cor_planes: int = 36
+    mask_size: int = 4
+    attention_type: str | None = None
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        d = self.hidden_dim
+        self.encoder = BasicMotionEncoder(dtype=self.dtype)
+        self.gru = SepConvGRU3D(hidden_dim=d, dtype=self.dtype)
+        self.flow_head = FlowHead(256, (3, 3, 3), dtype=self.dtype)
+        self.mask_conv1 = Conv(d + 128, (3, 3), dtype=self.dtype)
+        self.mask_conv2 = Conv(
+            (self.mask_size**2) * 9, (1, 1), padding=(0, 0), dtype=self.dtype
+        )
+        if self.attention_type is not None and "update_time" in self.attention_type:
+            self.time_attn = TimeAttnBlock(dim=256, num_heads=8, dtype=self.dtype)
+        if self.attention_type is not None and "update_space" in self.attention_type:
+            self.space_attn = SpaceAttnBlock(dim=256, num_heads=8, dtype=self.dtype)
+
+    def __call__(self, net, inp, corrs, flow):
+        """All inputs (B, T, H, W, C). Returns (net, mask(9·ms²), delta)."""
+        motion = self.encoder(flow, corrs)
+        x = jnp.concatenate([inp, motion], axis=-1)
         if self.attention_type is not None and "update_time" in self.attention_type:
             x = self.time_attn(x)
         if self.attention_type is not None and "update_space" in self.attention_type:
