@@ -54,7 +54,7 @@ def main():
     padder = InputPadder(h, w, divis_by=32)
     ph, pw = padder.padded_hw
     init_l = jnp.zeros((1, t_window, ph, pw, 3), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), init_l, init_l)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), init_l, init_l)
 
     def window_fn(left, right):
         return model.apply(params, left, right)
