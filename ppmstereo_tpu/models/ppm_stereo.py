@@ -161,16 +161,18 @@ class PPMUpdateLoop(nn.Module):
         def rows(q_r, idx_r, sc_r):
             # q_r: (B,R,H,W,C); idx_r: (b,R,k); sc_r: (b,R,k)
             r = q_r.shape[1]
-            gi = idx_r[:, :, :, None, None, None]
+            # gather picked frames via a one-hot contraction over the tiny
+            # frame axis — an MXU matmul instead of a TPU-hostile gather
+            onehot = jax.nn.one_hot(idx_r, t, dtype=key_aug.dtype)  # (b,r,k,t)
 
-            def gather(x, ch):
-                xb = jnp.broadcast_to(x[:, None], (b, r, t, h, w, ch))
-                return jnp.take_along_axis(
-                    xb, jnp.broadcast_to(gi, (b, r, k, h, w, ch)), axis=2
-                )
+            def gather(x):
+                return jnp.einsum(
+                    "brkt,bthwc->brkhwc", onehot, x,
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
 
-            sel_key = gather(key_aug, 2 * c)
-            sel_val = gather(value, c)
+            sel_key = gather(key_aug)
+            sel_val = gather(value)
             modw = sc_r[:, :, :, None, None, None].astype(sel_key.dtype)
             sel_key = sel_key[..., :c] * modw + sel_key[..., c:]
 

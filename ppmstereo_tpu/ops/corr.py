@@ -58,16 +58,12 @@ def build_corr_pyramid(
     return pyramid
 
 
-def _lookup_level(corr: jax.Array, x: jax.Array, radius: int) -> jax.Array:
-    """Sample 2r+1 taps around positions x (B,H,W1) from corr (B,H,W1,W2).
-
-    Linear interp with zero padding per-tap, matching torch grid_sample
-    (align_corners=True, padding_mode='zeros') on a 1-row image.
-    Returns (B,H,W1,2r+1) float32.
-    """
+def _lookup_level_gather(corr: jax.Array, x: jax.Array, radius: int) -> jax.Array:
+    """Two-tap lerp via take_along_axis — fast on CPU, but a gather along
+    the LANE axis scalarizes on TPU (measured: hangs at production sizes).
+    Kept as the CPU path and as the parity oracle for the one-hot path."""
     w2 = corr.shape[-1]
     dx = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    # positions: (B,H,W1,2r+1)
     pos = x[..., None].astype(jnp.float32) + dx
     i0 = jnp.floor(pos)
     frac = pos - i0
@@ -83,16 +79,51 @@ def _lookup_level(corr: jax.Array, x: jax.Array, radius: int) -> jax.Array:
     return tap(i0) * (1.0 - frac) + tap(i1) * frac
 
 
+def _lookup_level_onehot(corr: jax.Array, x: jax.Array, radius: int) -> jax.Array:
+    """TPU path: the per-pixel two-tap gather re-expressed as a masked
+    reduction over W2 — iota-compare one-hot weights fused with the
+    multiply-reduce on the VPU, no gather instruction at all. Exactly
+    equal to the gather path (0/1 masks select the same two taps; OOB
+    indices produce an all-zero mask == grid_sample zero padding)."""
+    w2 = corr.shape[-1]
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, w2), 3)
+    outs = []
+    x = x.astype(jnp.float32)
+    for dx in range(-radius, radius + 1):
+        pos = x + dx
+        i0f = jnp.floor(pos)
+        frac = (pos - i0f)[..., None]
+        i0 = i0f.astype(jnp.int32)[..., None]
+        w = (j == i0).astype(corr.dtype) * (1.0 - frac) + (
+            j == i0 + 1
+        ).astype(corr.dtype) * frac
+        outs.append(jnp.sum(corr * w, axis=-1))
+    return jnp.stack(outs, axis=-1)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def corr_lookup(
-    pyramid: list[jax.Array], coords_x: jax.Array, radius: int = 4
+    pyramid: list[jax.Array],
+    coords_x: jax.Array,
+    radius: int = 4,
+    impl: str = "auto",
 ) -> jax.Array:
     """Pyramid lookup: coords_x (B,H,W1) -> (B,H,W1, L*(2r+1)) features.
 
     Channel order is level-major then dx in [-r, r], matching the reference
-    concat order (corr.py:81-93).
+    concat order (corr.py:81-93). impl: "auto" | "gather" | "onehot".
     """
+    if impl == "auto":
+        impl = "onehot" if _on_tpu() else "gather"
+    level = _lookup_level_onehot if impl == "onehot" else _lookup_level_gather
     out = [
-        _lookup_level(corr, coords_x / (2.0**i), radius)
+        level(corr, coords_x / (2.0**i), radius)
         for i, corr in enumerate(pyramid)
     ]
     return jnp.concatenate(out, axis=-1)

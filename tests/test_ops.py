@@ -250,3 +250,18 @@ class TestPadder:
 
         back = padder.unpad(xp)
         np.testing.assert_allclose(np.asarray(back), x)
+
+
+class TestLookupImpls:
+    def test_onehot_matches_gather(self, rng):
+        from ppmstereo_tpu.ops.corr import corr_lookup, build_corr_pyramid
+        B, H, W, C = 2, 4, 32, 8
+        f1 = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+        f2 = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+        coords = coords_grid_x(B, H, W) + jnp.asarray(
+            (rng.standard_normal((B, H, W)) * 5).astype(np.float32)
+        )
+        pyr = build_corr_pyramid(f1, f2)
+        a = corr_lookup(pyr, coords, impl="gather")
+        b = corr_lookup(pyr, coords, impl="onehot")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
