@@ -76,6 +76,10 @@ class PPMStereoConfig:
     corr_radius: int = 4
     mixed_precision: bool = True
     force_xla_attention: bool = False
+    # PPMStereo_VDA variant (reference ppmstereo_VDA.py): features from a
+    # MultiLevelEncoder fused with frozen VideoDepthAnything maps
+    use_vfm: bool = False
+    vfm_encoder: str = "vits"
 
     @property
     def dtype(self):
@@ -292,7 +296,18 @@ class PPMStereo(nn.Module):
                 "shared update blocks across scales are not supported; the "
                 "shipped reference config uses different_update_blocks=True"
             )
-        self.fnet = BasicEncoder(output_dim=cfg.dim, norm_fn="instance", dtype=cfg.dtype)
+        if cfg.use_vfm:
+            from ppmstereo_tpu.nn.encoder import MultiLevelEncoderVFM
+            from ppmstereo_tpu.nn.vda.video_depth import VideoDepthAnything
+
+            self.fnet = MultiLevelEncoderVFM(
+                output_dim=cfg.dim, norm_fn="instance", dtype=cfg.dtype
+            )
+            self.backbone = VideoDepthAnything(
+                encoder=cfg.vfm_encoder, dtype=cfg.dtype
+            )
+        else:
+            self.fnet = BasicEncoder(output_dim=cfg.dim, norm_fn="instance", dtype=cfg.dtype)
         if cfg.use_cnet:
             self.cnet = ContextNet("tiny", output_dim=cfg.dim, dtype=cfg.dtype)
         self.att = [
@@ -329,6 +344,41 @@ class PPMStereo(nn.Module):
         qv = jnp.mean(qp, axis=-1).reshape(b, t, oh * ow)
         kv = jnp.mean(kp, axis=-1).reshape(b, t, oh * ow)
         return cosine_similarity_matrix(qv, kv)
+
+    def _vfm_features(self, raw1, raw2, images_norm):
+        """PPMStereo_VDA feature path (reference ppmstereo_VDA.py:617-623):
+        frozen VideoDepthAnything fusion pyramid + MultiLevelEncoderVFM.
+        Returns (fmap1, fmap2, {"f16": (f1,f2), "f8": (f1,f2)})."""
+        from ppmstereo_tpu.nn.vda.video_depth import (
+            imagenet_normalize,
+            interp_ac_false_to,
+        )
+
+        b, t, h, w, _ = raw1.shape
+        both_raw = jnp.concatenate([raw1, raw2], axis=0)
+        nh, nw = (h // 14) * 14, (w // 14) * 14
+        vda_in = interp_ac_false_to(
+            imagenet_normalize(both_raw).astype(self.cfg.dtype), (nh, nw)
+        )
+        paths = self.backbone.fusion_features(vda_in, t)
+        paths = tuple(jax.lax.stop_gradient(p) for p in paths)
+        # resize the fusion pyramid to exact 1/4 .. 1/32 grids
+        sizes = [(h // s, w // s) for s in (4, 8, 16, 32)]
+        vfm = [
+            interp_ac_false_to(p.reshape(2 * b * t, *p.shape[2:]), sz)
+            for p, sz in zip(paths, sizes)
+        ]
+        frames = images_norm.reshape(2 * b * t, h, w, 3)
+        f4, f8, f16 = self.fnet(frames, vfm)
+
+        def split_tb(x):
+            x = x.reshape(2 * b, t, *x.shape[1:])
+            return x[:b], x[b:]
+
+        fmap1, fmap2 = split_tb(f4)
+        f1_8, f2_8 = split_tb(f8)
+        f1_16, f2_16 = split_tb(f16)
+        return fmap1, fmap2, {"f16": (f1_16, f2_16), "f8": (f1_8, f2_8)}
 
     def _stage_inputs(self, stage, fmap1, fmap2, inp):
         """Correlation pyramid + q/k (+ temporal PE augmentation)."""
@@ -367,12 +417,17 @@ class PPMStereo(nn.Module):
         dtype = cfg.dtype
         b = image1.shape[0]
 
+        raw1, raw2 = image1, image2
         image1 = (2.0 * (image1 / 255.0) - 1.0).astype(dtype)
         image2 = (2.0 * (image2 / 255.0) - 1.0).astype(dtype)
 
         both = jnp.concatenate([image1, image2], axis=0)
-        fmaps = self.fnet(both)
-        fmap1, fmap2 = fmaps[:b], fmaps[b:]
+        if cfg.use_vfm:
+            fmap1, fmap2, vfm16 = self._vfm_features(raw1, raw2, both)
+        else:
+            fmaps = self.fnet(both)
+            fmap1, fmap2 = fmaps[:b], fmaps[b:]
+            vfm16 = None
 
         hdim = cfg.hidden_dim
         net = fmap1[..., :hdim]
@@ -387,8 +442,12 @@ class PPMStereo(nn.Module):
         t = fmap1.shape[1]
         h4, w4 = fmap1.shape[2], fmap1.shape[3]
 
-        f1_16 = avg_pool2d(fmap1, 4, 4)
-        f2_16 = avg_pool2d(fmap2, 4, 4)
+        if cfg.use_vfm:
+            f1_16, f2_16 = vfm16["f16"]
+            f1_8, f2_8 = vfm16["f8"]
+        else:
+            f1_16 = avg_pool2d(fmap1, 4, 4)
+            f2_16 = avg_pool2d(fmap2, 4, 4)
         f1_16, f2_16 = self.sst(f1_16, f2_16)
 
         net16 = f1_16[..., :hdim]
@@ -399,8 +458,9 @@ class PPMStereo(nn.Module):
         net16 = jnp.tanh(net16)
         inp16 = nn.relu(inp16)
 
-        f1_8 = (avg_pool2d(fmap1, 2, 2) + _resize_video(f1_16, (h4 // 2, w4 // 2))) / 2.0
-        f2_8 = (avg_pool2d(fmap2, 2, 2) + _resize_video(f2_16, (h4 // 2, w4 // 2))) / 2.0
+        if not cfg.use_vfm:
+            f1_8 = (avg_pool2d(fmap1, 2, 2) + _resize_video(f1_16, (h4 // 2, w4 // 2))) / 2.0
+            f2_8 = (avg_pool2d(fmap2, 2, 2) + _resize_video(f2_16, (h4 // 2, w4 // 2))) / 2.0
 
         net8 = f1_8[..., :hdim]
         inp8 = f1_8[..., hdim:]

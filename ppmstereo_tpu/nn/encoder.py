@@ -65,3 +65,79 @@ class BasicEncoder(nn.Module):
 
         x = Conv(self.output_dim, (1, 1), padding=(0, 0), kernel_init="kaiming_out", dtype=self.dtype)(x)
         return x
+
+
+class _UpFuse(nn.Module):
+    """Upsample(2x nearest) + 3x3 conv + instance norm + relu
+    (reference extractor.py:528-541)."""
+
+    out_dim: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.repeat(jnp.repeat(x, 2, axis=-3), 2, axis=-2)
+        x = Conv(self.out_dim, (3, 3), kernel_init="kaiming_out", dtype=self.dtype)(x)
+        x = InstanceNorm()(x)
+        return nn.relu(x)
+
+
+class _DecodeVFM(nn.Module):
+    out_dim: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.out_dim, (3, 3), kernel_init="kaiming_out", dtype=self.dtype)(x)
+        x = nn.relu(InstanceNorm()(x))
+        return Conv(self.out_dim, (3, 3), kernel_init="kaiming_out", dtype=self.dtype)(x)
+
+
+class MultiLevelEncoderVFM(nn.Module):
+    """3-scale encoder fusing foundation-model (VFM) features at
+    1/16, 1/8 and 1/4 with top-down upconvs
+    (reference extractor.py:501-620 MultiLevelEncoder_VFM).
+
+    vfm_features: 4 maps (finest->coarsest) already resized by the caller
+    to 1/4, 1/8, 1/16 and 1/32 of the input, `vfm_dim` channels each.
+    Returns (f4, f8, f16), each `output_dim` channels.
+    """
+
+    output_dim: int = 256
+    norm_fn: str = "instance"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, vfm_features):
+        d = self.output_dim
+        # downsample=2 config: stride-1 stem, strides at layers 2 and 3
+        # (reference extractor.py:518-524)
+        x = Conv(64, (7, 7), stride=1, kernel_init="kaiming_out", dtype=self.dtype)(x)
+        x = _make_norm(self.norm_fn)(x)
+        x = nn.relu(x)
+
+        x = ResidualBlock(64, self.norm_fn, 1, dtype=self.dtype)(x)
+        x = ResidualBlock(64, self.norm_fn, 1, dtype=self.dtype)(x)
+        x = ResidualBlock(96, self.norm_fn, 2, dtype=self.dtype)(x)
+        x = ResidualBlock(96, self.norm_fn, 1, dtype=self.dtype)(x)
+        x4 = ResidualBlock(128, self.norm_fn, 2, dtype=self.dtype)(x)
+        x4 = ResidualBlock(128, self.norm_fn, 1, dtype=self.dtype)(x4)
+        x8 = ResidualBlock(128, self.norm_fn, 2, dtype=self.dtype)(x4)
+        x8 = ResidualBlock(128, self.norm_fn, 1, dtype=self.dtype)(x8)
+        x16 = ResidualBlock(128, self.norm_fn, 2, dtype=self.dtype)(x8)
+        x16 = ResidualBlock(128, self.norm_fn, 1, dtype=self.dtype)(x16)
+
+        v4, v8, v16, v32 = vfm_features
+        up16 = _UpFuse(64, dtype=self.dtype, name="upconv_16")(v32)
+        f16 = _DecodeVFM(d, dtype=self.dtype, name="decode_16x")(
+            jnp.concatenate([x16, v16, up16], axis=-1)
+        )
+        up8 = _UpFuse(128, dtype=self.dtype, name="upconv_8")(f16)
+        f8 = _DecodeVFM(d, dtype=self.dtype, name="decode_8x")(
+            jnp.concatenate([x8, v8, up8], axis=-1)
+        )
+        up4 = _UpFuse(128, dtype=self.dtype, name="upconv_4")(f8)
+        f4 = _DecodeVFM(d, dtype=self.dtype, name="decode_4x")(
+            jnp.concatenate([x4, v4, up4], axis=-1)
+        )
+        return f4, f8, f16

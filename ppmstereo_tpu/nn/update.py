@@ -120,6 +120,52 @@ class SequenceUpdateBlock3D(nn.Module):
         return net, mask, delta_flow
 
 
+class SAVSequenceUpdateBlock3D(nn.Module):
+    """StereoAnyVideo's update cell (reference
+    /root/reference/models/core/stereoanyvideo_update.py:353-387):
+    all-relu BasicMotionEncoder variant (:92-110), SKSepConvGRU3D,
+    FlowHead3D, 3-D convex mask head, and unconditional time+space
+    attention on the GRU input."""
+
+    hidden_dim: int = 128
+    cor_planes: int = 128
+    mask_size: int = 4
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        d = self.hidden_dim
+        self.convc1 = Conv(256, (1, 1), padding=(0, 0), dtype=self.dtype)
+        self.convc2 = Conv(192, (3, 3), dtype=self.dtype)
+        self.convf1 = Conv(128, (7, 7), dtype=self.dtype)
+        self.convf2 = Conv(64, (3, 3), dtype=self.dtype)
+        self.conv = Conv(126, (3, 3), dtype=self.dtype)
+        self.gru = SKSepConvGRU3D(hidden_dim=d, dtype=self.dtype)
+        self.flow_head = FlowHead(256, (3, 3, 3), dtype=self.dtype)
+        self.mask_conv1 = Conv(d + 128, (3, 3, 3), dtype=self.dtype)
+        self.mask_conv2 = Conv(
+            (self.mask_size**2) * 27, (1, 1, 1), padding=(0, 0, 0), dtype=self.dtype
+        )
+        self.time_attn = TimeAttnBlock(dim=256, num_heads=8, dtype=self.dtype)
+        self.space_attn = SpaceAttnBlock(dim=256, num_heads=8, dtype=self.dtype)
+
+    def __call__(self, net, inp, corrs, flow):
+        cor = nn.relu(self.convc1(corrs))
+        cor = nn.relu(self.convc2(cor))
+        flo = nn.relu(self.convf1(flow))
+        flo = nn.relu(self.convf2(flo))
+        motion = nn.relu(self.conv(jnp.concatenate([cor, flo], axis=-1)))
+        motion = jnp.concatenate([motion, flow], axis=-1)
+
+        x = jnp.concatenate([inp, motion], axis=-1)
+        x = self.time_attn(x)
+        x = self.space_attn(x)
+
+        net = self.gru(net, x)
+        delta_flow = self.flow_head(net)
+        mask = 0.25 * self.mask_conv2(nn.relu(self.mask_conv1(net)))
+        return net, mask, delta_flow
+
+
 class DSSequenceUpdateBlock3D(nn.Module):
     """DynamicStereo's update cell (reference
     /root/reference/models/core/update.py:481-525): BasicMotionEncoder +

@@ -76,3 +76,17 @@ class TestPPMForward:
         # at least some gradient mass reaches the encoder
         gnorm = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
         assert gnorm > 0
+
+
+def test_ppm_vda_variant():
+    """PPMStereo_VDA: VFM-fused multilevel encoder path."""
+    cfg = PPMStereoConfig(
+        mixed_precision=False, use_cnet=False, top_k=2,
+        force_xla_attention=True, use_vfm=True,
+    )
+    left, right = _clip(t=2, h=64, w=128)
+    model = PPMStereo(cfg=cfg, iters=2, test_mode=True)
+    params = model.init(jax.random.PRNGKey(0), left, right)
+    disp, unc = model.apply(params, left, right)
+    assert disp.shape == (1, 2, 64, 128, 1)
+    assert np.isfinite(np.asarray(disp)).all()
