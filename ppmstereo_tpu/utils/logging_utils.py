@@ -1,0 +1,67 @@
+"""Metrics logging: running means + JSONL + optional TensorBoard.
+
+Replaces the reference Logger (/root/reference/train_utils/logger.py):
+running means flushed every SUM_FREQ steps to TensorBoard. Here the
+primary sink is an append-only metrics.jsonl (machine-readable,
+crash-safe); TensorBoard is attached when available.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+SUM_FREQ = 100
+
+
+class MetricsLogger:
+    def __init__(self, exp_dir: str, sum_freq: int = SUM_FREQ, tensorboard: bool = True):
+        os.makedirs(exp_dir, exist_ok=True)
+        self.path = os.path.join(exp_dir, "metrics.jsonl")
+        self.sum_freq = sum_freq
+        self.running: dict[str, float] = {}
+        self.counts: dict[str, int] = {}
+        self.writer = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.writer = SummaryWriter(log_dir=os.path.join(exp_dir, "tb"))
+            except Exception:
+                self.writer = None
+
+    def push(self, step: int, metrics: dict):
+        for k, v in metrics.items():
+            v = float(v)
+            self.running[k] = self.running.get(k, 0.0) + v
+            self.counts[k] = self.counts.get(k, 0) + 1
+        if step % self.sum_freq == self.sum_freq - 1:
+            self.flush(step)
+
+    def flush(self, step: int):
+        means = {
+            k: self.running[k] / max(self.counts[k], 1) for k in self.running
+        }
+        rec = {"step": step, "time": time.time(), **means}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self.writer is not None:
+            for k, v in means.items():
+                self.writer.add_scalar(k, v, step)
+        self.running.clear()
+        self.counts.clear()
+
+    def write_dict(self, step: int, metrics: dict, prefix: str = ""):
+        rec = {"step": step, "time": time.time()}
+        for k, v in metrics.items():
+            key = f"{prefix}{k}"
+            rec[key] = float(v)
+            if self.writer is not None:
+                self.writer.add_scalar(key, float(v), step)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def close(self):
+        if self.writer is not None:
+            self.writer.close()

@@ -1,0 +1,150 @@
+"""Harness tests: zoo, evaluator, trainer smoke, config, checkpoints."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+class TestConfig:
+    def test_overrides_and_yaml(self, tmp_path):
+        from ppmstereo_tpu.train.trainer import TrainConfig
+        from ppmstereo_tpu.utils.config import apply_overrides, load_yaml, to_dict
+
+        cfg = TrainConfig()
+        apply_overrides(cfg, ["num_steps=100", "lr=0.001", "model_name=dynamicstereo"])
+        assert cfg.num_steps == 100 and cfg.lr == 0.001
+        assert cfg.model_name == "dynamicstereo"
+
+        p = tmp_path / "cfg.yaml"
+        p.write_text("num_steps: 7\nbatch_size: 1\n")
+        cfg2 = load_yaml(TrainConfig, str(p), overrides=["lr=0.01"])
+        assert cfg2.num_steps == 7 and cfg2.lr == 0.01
+        assert "model_name" in to_dict(cfg2)
+
+
+class TestLoss:
+    def test_sequence_loss_matches_torch(self):
+        import torch
+
+        from ppmstereo_tpu.train.loss import sequence_loss
+
+        rng = np.random.default_rng(0)
+        n, b, t, h, w = 3, 1, 2, 8, 10
+        preds = rng.standard_normal((n, b, t, h, w, 1)).astype(np.float32)
+        gt = rng.standard_normal((b, t, h, w, 1)).astype(np.float32) * 5
+        valid = (rng.random((b, t, h, w)) > 0.3).astype(np.float32)
+        uncs = rng.random((n, b, t, h, w, 1)).astype(np.float32)
+
+        loss, metrics = sequence_loss(
+            jnp.asarray(preds), jnp.asarray(gt), jnp.asarray(valid),
+            uncertainties=jnp.asarray(uncs),
+        )
+
+        # torch-side oracle reimplementing reference losses.py:10-84
+        tp = torch.from_numpy(preds).reshape(n, b * t, h, w, 1).permute(0, 1, 4, 2, 3)
+        tg = torch.from_numpy(gt).reshape(b * t, h, w, 1).permute(0, 3, 1, 2)
+        tv = torch.from_numpy(valid).reshape(b * t, h, w)
+        tu = torch.from_numpy(uncs).reshape(n, b * t, h, w, 1).permute(0, 1, 4, 2, 3)
+
+        mag = tg.abs()
+        vmask = (tv.unsqueeze(1) >= 0.5) & (mag < 700)
+        gamma = 0.9 ** (15 / (n - 1))
+        want = 0.0
+        for i in range(n):
+            w_i = gamma ** (n - i - 1)
+            gt_unc = torch.exp(-0.9 * (tp[i] - tg).abs() / 7) + 1e-2
+            i_loss = (tp[i] - tg).abs() + (gt_unc - tu[i]).abs()
+            want = want + w_i * i_loss[vmask].mean()
+        np.testing.assert_allclose(float(loss), float(want), rtol=1e-4)
+
+        epe = (tp[-1] - tg).abs()[vmask]
+        np.testing.assert_allclose(float(metrics["epe"]), float(epe.mean()), rtol=1e-4)
+
+
+class TestMetrics:
+    def test_epe_tepe_match_torch_reference_semantics(self):
+        import torch
+
+        from ppmstereo_tpu.evaluation.metrics import eval_endpoint_error_sequence
+
+        rng = np.random.default_rng(1)
+        t, h, w = 4, 12, 16
+        x = rng.standard_normal((t, h, w, 1)).astype(np.float32) * 3
+        y = rng.standard_normal((t, h, w, 1)).astype(np.float32) * 3
+        mask = (rng.random((t, h, w, 1)) > 0.4).astype(np.float32)
+
+        got = eval_endpoint_error_sequence(
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask)
+        )
+
+        tx, ty, tm = (torch.from_numpy(v).permute(0, 3, 1, 2) for v in (x, y, mask))
+        ty = ty * (tm > 0.5).float()
+        tx = tx * (tm > 0.5).float()
+        err = (tm * (tx - ty) ** 2).sum(dim=1).sqrt()
+        nz = torch.count_nonzero(err).clamp(1e-5)
+        np.testing.assert_allclose(
+            float(got["epe_mean"]), float(err.sum() / nz), rtol=1e-5
+        )
+        dm = tm[:-1] * tm[1:]
+        terr = (dm * ((tx[:-1] - tx[1:]) - (ty[:-1] - ty[1:])) ** 2).sum(1).sqrt()
+        tnz = torch.count_nonzero(terr).clamp(1e-5)
+        np.testing.assert_allclose(
+            float(got["temp_epe_mean"]), float(terr.sum() / tnz), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(got["epe_bad_1px"]), float((err > 1).sum() / nz * 100), rtol=1e-5
+        )
+
+
+class TestZooAndEvaluator:
+    def test_raft_stereo_zoo_and_eval(self):
+        from ppmstereo_tpu.data.datasets import SyntheticStereoDataset
+        from ppmstereo_tpu.evaluation.evaluator import EvalConfig, Evaluator
+        from ppmstereo_tpu.models.zoo import available_models, model_zoo
+
+        assert set(available_models()) >= {
+            "PPMStereoModel", "PPMStereoVDAModel", "DynamicStereoModel",
+            "BiDAStereoModel", "StereoAnyVideoModel", "RAFTStereoModel",
+        }
+
+        predictor = model_zoo("RAFTStereoModel", kernel_size=4, iters=2)
+        ds = SyntheticStereoDataset(num_seqs=1, sample_len=2, height=64, width=128)
+        # raw samples (no augmentation) expose img/disp/valid
+        evaluator = Evaluator(EvalConfig())
+        results = evaluator.evaluate_sequence(predictor, ds)
+        agg = results["aggregate"]
+        assert "epe_mean" in agg and np.isfinite(agg["epe_mean"])
+        assert agg["num_sequences"] == 1
+
+
+class TestTrainerSmoke:
+    @pytest.mark.slow
+    def test_two_training_steps(self, tmp_path):
+        from ppmstereo_tpu.train.trainer import TrainConfig, train
+
+        cfg = TrainConfig(
+            model_name="dynamicstereo",
+            batch_size=1,
+            sample_len=2,
+            train_iters=2,
+            crop_size=(64, 128),
+            mixed_precision=False,
+            exp_dir=str(tmp_path),
+            num_steps=50,
+            num_workers=1,
+        )
+        state = train(cfg, max_steps=2)
+        assert int(state.step) == 2
+
+
+class TestCheckpoints:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from ppmstereo_tpu.train.checkpoints import load_params, save_params
+
+        params = {"a": {"w": jnp.ones((3, 4)), "b": jnp.zeros((4,))}}
+        path = str(tmp_path / "params")
+        save_params(path, params)
+        back = load_params(path, params)
+        np.testing.assert_allclose(np.asarray(back["a"]["w"]), np.ones((3, 4)))
