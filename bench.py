@@ -29,6 +29,8 @@ A100_BASELINE_FPS = {
 
 
 def main():
+    # persistent XLA compilation cache: repeated bench runs skip compiles
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     config = os.environ.get("BENCH_CONFIG", "short")
     if config == "full":
         h, w, t_window, iters = 720, 1280, 20, 20

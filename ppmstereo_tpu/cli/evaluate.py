@@ -1,0 +1,111 @@
+"""Evaluation entry point.
+
+Mirrors /root/reference/evaluation/evaluate.py:60-141 (hydra run_eval):
+dataset selection (dynamicreplica / sintel / things / real), model zoo
+resolution with MODEL.model_name-style overrides, sequence evaluation,
+JSON dump.
+
+    python -m ppmstereo_tpu.cli.evaluate --config ppmstereo_tpu/configs/eval_dynamic_replica_40_frames.yaml \
+        MODEL.model_name=PPMStereoModel
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ModelConfig:
+    model_name: str = "PPMStereoModel"
+    kernel_size: int = 20
+    iters: int = 20
+    checkpoint: str = ""
+
+
+@dataclass
+class DefaultConfig:
+    exp_dir: str = "./outputs/eval"
+    dataset_name: str = "dynamicreplica"  # | sintel | things | synthetic
+    dstype: str = "clean"  # sintel pass
+    dataset_root: str = "datasets"
+    sample_len: int = 40
+    only_first_n_samples: int = 1
+    crop: int = 0
+    MODEL: ModelConfig = field(default_factory=ModelConfig)
+
+
+def build_dataset(cfg: DefaultConfig):
+    from ppmstereo_tpu.data import datasets as D
+
+    name = cfg.dataset_name
+    if name == "dynamicreplica":
+        return D.DynamicReplicaDataset(
+            root=f"{cfg.dataset_root}/dynamic_replica_data", split="valid",
+            sample_len=cfg.sample_len,
+            only_first_n_samples=cfg.only_first_n_samples,
+        )
+    if name == "sintel":
+        return D.SequenceSintelStereo(
+            dstype=cfg.dstype, root=f"{cfg.dataset_root}/sintel_stereo"
+        )
+    if name == "things":
+        return D.SequenceSceneFlowDataset(
+            root=f"{cfg.dataset_root}/SceneFlow", dstype="frames_finalpass",
+            sample_len=cfg.sample_len, things_test=True,
+        )
+    if name == "synthetic":
+        return D.SyntheticStereoDataset(
+            num_seqs=2, sample_len=cfg.sample_len, height=256, width=384
+        )
+    raise ValueError(f"unknown dataset {name}")
+
+
+def run_eval(cfg: DefaultConfig):
+    from ppmstereo_tpu.evaluation.evaluator import (
+        EvalConfig,
+        Evaluator,
+        pretty_print_results,
+    )
+    from ppmstereo_tpu.models.zoo import model_zoo
+
+    dataset = build_dataset(cfg)
+    predictor = model_zoo(
+        cfg.MODEL.model_name,
+        kernel_size=cfg.MODEL.kernel_size,
+        iters=cfg.MODEL.iters,
+    )
+    if cfg.MODEL.checkpoint:
+        from ppmstereo_tpu.train.checkpoints import load_params
+
+        predictor.load_params(load_params(cfg.MODEL.checkpoint, predictor.params))
+
+    evaluator = Evaluator(EvalConfig(exp_dir=cfg.exp_dir, crop=cfg.crop))
+    results = evaluator.evaluate_sequence(predictor, dataset)
+    path = evaluator.dump(results, cfg.dataset_name)
+    pretty_print_results(results)
+    logging.info(f"results -> {path}")
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("ppmstereo_tpu.evaluate")
+    p.add_argument("--config", default=None)
+    p.add_argument("overrides", nargs="*")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    from ppmstereo_tpu.utils.config import apply_overrides, load_yaml
+
+    if args.config:
+        cfg = load_yaml(DefaultConfig, args.config, overrides=args.overrides)
+    else:
+        cfg = DefaultConfig()
+        apply_overrides(cfg, args.overrides)
+    run_eval(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -128,16 +128,29 @@ def read_vkitti2_depth(path: str) -> np.ndarray:
 
 
 def read_gen(path: str):
-    """Dispatch by extension (reference frame_utils.py:104-118)."""
+    """Dispatch by extension (reference frame_utils.py:104-118).
+
+    PFM/FLO go through the native C++ reader when built (data/native.py);
+    numpy parsing otherwise.
+    """
     ext = osp.splitext(path)[-1].lower()
     if ext in (".png", ".jpeg", ".ppm", ".jpg"):
         return read_image(path)
     if ext in (".bin", ".raw"):
         return np.load(path)
     if ext == ".flo":
+        from ppmstereo_tpu.data import native
+
+        if native.available():
+            return native.read_flo(path)
         return read_flow(path).astype(np.float32)
     if ext == ".pfm":
-        data = read_pfm(path).astype(np.float32)
+        from ppmstereo_tpu.data import native
+
+        if native.available():
+            data = native.read_pfm(path)
+        else:
+            data = read_pfm(path).astype(np.float32)
         return data if data.ndim == 2 else data[..., :-1]
     raise ValueError(f"unsupported extension: {path}")
 

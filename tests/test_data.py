@@ -131,3 +131,37 @@ class TestFrameUtils:
         Image.fromarray(img).save(p)
         back = frame_utils.read_gen(p)
         np.testing.assert_array_equal(back, img)
+
+
+class TestNative:
+    def test_native_pfm_matches_python(self, tmp_path, rng):
+        from ppmstereo_tpu.data import native
+
+        data = rng.standard_normal((13, 17)).astype(np.float32)
+        p = str(tmp_path / "x.pfm")
+        frame_utils.write_pfm(p, data)
+        got = native.read_pfm(p)
+        np.testing.assert_allclose(got, data)
+
+    def test_native_flo_matches_python(self, tmp_path, rng):
+        from ppmstereo_tpu.data import native
+
+        flow = rng.standard_normal((9, 11, 2)).astype(np.float32)
+        p = str(tmp_path / "x.flo")
+        with open(p, "wb") as f:
+            np.array([202021.25], np.float32).tofile(f)
+            np.array([11], np.int32).tofile(f)
+            np.array([9], np.int32).tofile(f)
+            flow.astype(np.float32).tofile(f)
+        np.testing.assert_allclose(native.read_flo(p), flow)
+
+    def test_native_available_and_photometric(self, rng):
+        from ppmstereo_tpu.data import native
+
+        img = rng.integers(0, 255, (32, 48, 3)).astype(np.uint8)
+        out = native.photometric_fused(
+            img.copy(), 1.2, 0.9, 1.1, 1.0, 1.0, np.array([0, 1, 2])
+        )
+        assert out.shape == img.shape and out.dtype == np.uint8
+        # brightness x1.2 then contrast/saturation: output differs from input
+        assert not np.array_equal(out, img)
