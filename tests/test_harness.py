@@ -148,3 +148,35 @@ class TestCheckpoints:
         save_params(path, params)
         back = load_params(path, params)
         np.testing.assert_allclose(np.asarray(back["a"]["w"]), np.ones((3, 4)))
+
+
+class TestParallelStreaming:
+    def test_parallel_windows_match_sequential(self):
+        """Mesh-parallel window streaming must produce identical stitching
+        to the sequential driver."""
+        import jax
+        from jax.sharding import Mesh
+
+        from ppmstereo_tpu.models.inference import SlidingWindowPredictor
+        from ppmstereo_tpu.parallel.mesh import MeshSpec, make_mesh
+        from ppmstereo_tpu.parallel.streaming import ParallelWindowPredictor
+
+        rng = np.random.default_rng(7)
+        video = rng.uniform(0, 255, (10, 2, 32, 32, 3)).astype(np.float32)
+
+        def window_fn(left, right):
+            # deterministic fake "model": disparity = mean(|L-R|) per pixel
+            d = jnp.mean(jnp.abs(left - right), axis=-1, keepdims=True)
+            return d, jnp.zeros_like(d)
+
+        seq = SlidingWindowPredictor(window_fn, kernel_size=4)
+        out_seq = seq(video)
+
+        mesh = make_mesh(MeshSpec(data=2, seq=1, space=1))
+        par = ParallelWindowPredictor(window_fn, mesh, kernel_size=4)
+        out_par = par(video)
+
+        assert out_seq["disparity"].shape == out_par["disparity"].shape
+        np.testing.assert_allclose(
+            out_par["disparity"], out_seq["disparity"], rtol=1e-5, atol=1e-6
+        )
