@@ -48,7 +48,9 @@ def main():
 
     rng = np.random.default_rng(0)
     n_frames = 2 * t_window  # two windows + tail coverage
-    video = rng.uniform(0, 255, (n_frames, 2, h, w, 3)).astype(np.float32)
+    # uint8 frames: the wire format of every real dataset, and 4x less
+    # host->device transfer than float32 (the model casts on device)
+    video = rng.integers(0, 255, (n_frames, 2, h, w, 3)).astype(np.uint8)
 
     # init params at padded window shape
     from ppmstereo_tpu.ops.padding import InputPadder

@@ -1,0 +1,43 @@
+"""Aux subsystem tests: FFT head, visualization, profiling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_fft_flow_head():
+    from ppmstereo_tpu.nn.fft_head import FlowHead3DFFT
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 10, 16)).astype(np.float32))
+    head = FlowHead3DFFT(hidden_dim=32)
+    params = head.init(jax.random.PRNGKey(0), x)
+    out = head.apply(params, x)
+    assert out.shape == (1, 4, 8, 10, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_visualization_renderer():
+    from ppmstereo_tpu.evaluation.visualization import (
+        colorize_disparity,
+        render_prediction_views,
+    )
+
+    rng = np.random.default_rng(1)
+    disp = rng.uniform(5, 50, (48, 64)).astype(np.float32)
+    img = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+    cm = colorize_disparity(disp)
+    assert cm.shape == (48, 64, 3) and cm.dtype == np.uint8
+    views = render_prediction_views(disp, img)
+    assert len(views) == 2
+    assert views[0].shape == (48, 64, 3)
+    assert views[0].any()  # something was splatted
+
+
+def test_roofline_accounting():
+    from ppmstereo_tpu.utils.profiling import ppm_iteration_cost
+
+    cost = ppm_iteration_cost(b=1, t=10, h=80, w=128)
+    assert cost.flops > 0 and cost.bytes > 0
+    assert cost.light_speed_s > 0
+    assert cost.bound in ("compute", "memory")
