@@ -54,7 +54,9 @@ from ppmstereo_tpu.ops.upsample import convex_upsample_2d, convex_upsample_3d
 
 # Gathered-memory footprint (elements) above which the play step processes
 # target frames in chunks instead of one batched gather+attention.
-_PLAY_CHUNK_BUDGET = 192 * 1024 * 1024
+# 1.5e9 bf16 elements ~= 3 GB — fits v5e HBM with room for the rest of the
+# window graph; chunking only engages for 720p 20-frame windows.
+_PLAY_CHUNK_BUDGET = 1_500_000_000
 
 
 @dataclass(frozen=True)

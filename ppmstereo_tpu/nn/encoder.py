@@ -67,6 +67,56 @@ class BasicEncoder(nn.Module):
         return x
 
 
+class BasicEncoderVFM(nn.Module):
+    """BasicEncoder with foundation features concatenated before the
+    output conv (reference extractor.py:426-499): the 768-ch VFM map is
+    expected at the encoder's 1/4 grid."""
+
+    output_dim: int = 256
+    norm_fn: str = "instance"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, vfm_features):
+        x = Conv(64, (7, 7), stride=2, kernel_init="kaiming_out", dtype=self.dtype)(x)
+        x = _make_norm(self.norm_fn)(x)
+        x = nn.relu(x)
+        for planes, stride in ((64, 1), (96, 2), (128, 1)):
+            x = ResidualBlock(planes, self.norm_fn, stride, dtype=self.dtype)(x)
+            x = ResidualBlock(planes, self.norm_fn, 1, dtype=self.dtype)(x)
+        x = jnp.concatenate([x, vfm_features], axis=-1)
+        return Conv(self.output_dim, (1, 1), padding=(0, 0), kernel_init="kaiming_out", dtype=self.dtype)(x)
+
+
+class ResNetFPN(nn.Module):
+    """ResNet-style FPN encoder (reference extractor.py:107-298 —
+    available-but-unused variant kept for architecture-switch parity):
+    4 stages + top-down 1x1 lateral fusion, output at 1/4."""
+
+    output_dim: int = 256
+    norm_fn: str = "instance"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(64, (7, 7), stride=2, kernel_init="kaiming_out", dtype=self.dtype)(x)
+        x = _make_norm(self.norm_fn)(x)
+        c2 = nn.relu(x)  # 1/2
+        c2 = ResidualBlock(64, self.norm_fn, 1, dtype=self.dtype)(c2)
+        c3 = ResidualBlock(128, self.norm_fn, 2, dtype=self.dtype)(c2)  # 1/4
+        c4 = ResidualBlock(256, self.norm_fn, 2, dtype=self.dtype)(c3)  # 1/8
+        c5 = ResidualBlock(512, self.norm_fn, 2, dtype=self.dtype)(c4)  # 1/16
+
+        def lateral(c, name):
+            return Conv(self.output_dim, (1, 1), padding=(0, 0),
+                        kernel_init="kaiming_out", dtype=self.dtype, name=name)(c)
+
+        p5 = lateral(c5, "lat5")
+        p4 = lateral(c4, "lat4") + jnp.repeat(jnp.repeat(p5, 2, -3), 2, -2)
+        p3 = lateral(c3, "lat3") + jnp.repeat(jnp.repeat(p4, 2, -3), 2, -2)
+        return Conv(self.output_dim, (3, 3), kernel_init="kaiming_out", dtype=self.dtype)(p3)
+
+
 class _UpFuse(nn.Module):
     """Upsample(2x nearest) + 3x3 conv + instance norm + relu
     (reference extractor.py:528-541)."""

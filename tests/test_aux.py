@@ -41,3 +41,21 @@ def test_roofline_accounting():
     assert cost.flops > 0 and cost.bytes > 0
     assert cost.light_speed_s > 0
     assert cost.bound in ("compute", "memory")
+
+
+def test_encoder_variants():
+    from ppmstereo_tpu.nn.encoder import BasicEncoderVFM, ResNetFPN
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 32, 48, 3)).astype(np.float32))
+    vfm = jnp.asarray(rng.standard_normal((2, 8, 12, 768)).astype(np.float32))
+
+    enc = BasicEncoderVFM(output_dim=64)
+    p = enc.init(jax.random.PRNGKey(0), x, vfm)
+    out = enc.apply(p, x, vfm)
+    assert out.shape == (2, 8, 12, 64)
+
+    fpn = ResNetFPN(output_dim=64)
+    p = fpn.init(jax.random.PRNGKey(0), x)
+    out = fpn.apply(p, x)
+    assert out.shape == (2, 8, 12, 64)
