@@ -47,6 +47,7 @@ def make_optimizer(
     lr: float = 3e-4,
     weight_decay: float = 1e-5,
     clip_norm: float = 0.99,
+    nan_guard: bool = True,
 ) -> optax.GradientTransformation:
     schedule = onecycle_schedule(num_steps, lr)
 
@@ -56,7 +57,7 @@ def make_optimizer(
             optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd),
         )
 
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {
             "train": adamw(weight_decay),
             "no_decay": adamw(0.0),
@@ -71,6 +72,12 @@ def make_optimizer(
             params,
         ),
     )
+    if nan_guard:
+        # failure detection the reference only has as commented-out code
+        # (train.py:255-271): a non-finite gradient skips the update
+        # instead of poisoning the params; 10 consecutive failures raise.
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=10)
+    return tx
 
 
 def create_train_state(
