@@ -1,0 +1,142 @@
+"""END-TO-END numerical parity: our PPMStereo vs the torch reference.
+
+Builds the actual reference model (/root/reference/models/core/
+ppmstereo.py) on CPU with stubbed CUDA deps, copies its randomly
+initialized state dict into our flax model through the name mapping, and
+compares full-forward disparity outputs on the same clip.
+
+Config: no-cnet (the reference hard-codes a personal checkpoint path for
+its frozen ConvNeXt, convnext.py:221), attention_type=None, T == top_k
+so the pick selects every frame deterministically (no argsort-tie
+sensitivity); the play attention, QAM scoring, memory modulation, GRU
+and 3-D convex upsampling are all exercised. beta is forced nonzero so
+the attention branch contributes (it is zero-init).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests import reference_stubs
+
+T = 5  # == top_k -> deterministic pick
+H, W = 64, 256  # reference needs W/16 >= 16 (builds an unused 5th pyramid level)
+ITERS = 2
+
+
+@pytest.fixture(scope="module")
+def reference_model():
+    reference_stubs.install()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import importlib
+
+    ppm = importlib.import_module("models.core.ppmstereo")
+    import torch
+
+    # neutralize the cnet: the reference hard-codes a personal checkpoint
+    # path in its ConvNeXt Feature (convnext.py:221-223); the test config
+    # disables use_cnet after construction anyway.
+    class _DummyFeature(torch.nn.Module):
+        def __init__(self, *a, **kw):
+            super().__init__()
+
+        def forward(self, x):  # pragma: no cover
+            raise RuntimeError("cnet disabled in parity test")
+
+    ppm.Feature = _DummyFeature
+
+    torch.manual_seed(0)
+    model = ppm.PPMStereo(
+        mixed_precision=False,
+        num_frames=T,
+        attention_type=None,
+        use_3d_update_block=True,
+        different_update_blocks=True,
+        use_convex_3d=True,
+    )
+    model.use_cnet = False  # skip the hard-coded-checkpoint ConvNeXt
+    model.eval()
+    # make the play-attention branch contribute (beta is zero-init)
+    with torch.no_grad():
+        for blk in (model.update_block16, model.update_block08, model.update_block04):
+            blk.aggregator.beta.fill_(0.5)
+    return model
+
+
+class _NoCnetPPM(type):
+    pass
+
+
+@pytest.fixture(scope="module")
+def reference_monkeypatched(reference_model):
+    return reference_model
+
+
+def _torch_forward(model, left, right):
+    import torch
+
+    with torch.no_grad():
+        l = torch.from_numpy(left).permute(0, 1, 4, 2, 3).contiguous()
+        r = torch.from_numpy(right).permute(0, 1, 4, 2, 3).contiguous()
+        disp, unc = model(l, r, iters=ITERS, test_mode=True)
+    # (b, t, c, h, w) -> (b, t, h, w, c)
+    return (
+        disp.permute(0, 1, 3, 4, 2).numpy(),
+        unc.permute(0, 1, 3, 4, 2).numpy(),
+    )
+
+
+def test_full_forward_parity(reference_model):
+    """Reference torch model and our flax model agree on disparity."""
+    from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig
+    from ppmstereo_tpu.utils.ppm_mapping import ppmstereo_mapping
+    from ppmstereo_tpu.utils.torch_import import import_by_mapping
+
+    rng = np.random.default_rng(42)
+    left = rng.uniform(0, 255, (1, T, H, W, 3)).astype(np.float32)
+    right = rng.uniform(0, 255, (1, T, H, W, 3)).astype(np.float32)
+
+    want_disp, want_unc = _torch_forward(reference_model, left, right)
+
+    cfg = PPMStereoConfig(
+        mixed_precision=False, use_cnet=False, attention_type=None,
+        num_frames=T, top_k=T, force_xla_attention=True,
+    )
+    model = PPMStereo(cfg=cfg, iters=ITERS, test_mode=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(left), jnp.asarray(right))
+
+    sd = {
+        k: v.detach().numpy() for k, v in reference_model.state_dict().items()
+    }
+    mapping = ppmstereo_mapping(attention_type=None)
+    new_inner, missing = import_by_mapping(sd, params["params"], mapping)
+    # every mapped torch tensor must land (all torch keys consumed)
+    # stages 08/04 never use init_conv in the reference either
+    dead = {
+        k for k in sd
+        if ".encoder.init_conv." in k and "update_block16" not in k
+    }
+    unmapped = sorted(set(sd) - set(mapping) - dead)
+    assert not missing, f"missing: {missing[:10]}"
+    assert not unmapped, f"reference tensors not covered by mapping: {unmapped[:10]}"
+
+    got_disp, got_unc = model.apply({"params": new_inner}, jnp.asarray(left), jnp.asarray(right))
+    got_disp = np.asarray(got_disp)
+    got_unc = np.asarray(got_unc)
+
+    assert got_disp.shape == want_disp.shape
+    # the play attention runs in bf16 on both sides; everything else f32.
+    err = np.abs(got_disp - want_disp)
+    denom = np.abs(want_disp).mean() + 1e-6
+    rel = err.mean() / denom
+    assert rel < 2e-2, f"mean rel err {rel}; max abs {err.max()}"
+    corr = np.corrcoef(got_disp.ravel(), want_disp.ravel())[0, 1]
+    assert corr > 0.999, f"correlation {corr}"
+
+    uerr = np.abs(got_unc - want_unc)
+    assert uerr.mean() < 1e-2, f"uncertainty mean abs err {uerr.mean()}"
