@@ -101,8 +101,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
 
 
 def _play_attention_pallas(
-    q, k, v, scale, block_q: int = 512, block_k: int = 1024
+    q, k, v, scale, block_q: int = 1024, block_k: int = 1024
 ):
+    # 1024/1024 measured fastest on v5e at the 1/4-scale shapes
+    # (10x10240x51200xd128: 18.8ms ~= 73% of bf16 peak)
     from jax.experimental.pallas import tpu as pltpu  # noqa: F401
 
     b, lq, d = q.shape
