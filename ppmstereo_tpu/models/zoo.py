@@ -72,7 +72,8 @@ class StereoVideoPredictor:
         if params is None:
             t0 = min(kernel_size, 4)
             params = _init_params(self.model, t0, *init_hw)
-        self.params = params
+        # normalize to jax arrays (checkpoint restores hand numpy leaves)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
 
         def window_fn(left, right):
             out = self.model.apply(self.params, left, right)
@@ -83,7 +84,7 @@ class StereoVideoPredictor:
         self.predictor = SlidingWindowPredictor(window_fn, kernel_size=kernel_size)
 
     def load_params(self, params):
-        self.params = params
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.predictor._jitted.clear()
 
     def __call__(self, batch: dict) -> dict:

@@ -26,8 +26,10 @@ def _interp_nearest_time(embed, t: int):
     t0 = embed.shape[1]
     if t0 == t:
         return embed
+    # keep the index numpy: `embed` may be a numpy param tree leaf, and
+    # numpy fancy-indexed with a traced jnp array raises under jit
     idx = np.floor(np.arange(t) * t0 / t).astype(np.int32)
-    return embed[:, jnp.asarray(idx)]
+    return jnp.asarray(embed)[:, idx]
 
 
 class SSTBlock(nn.Module):

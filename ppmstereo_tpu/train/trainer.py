@@ -115,7 +115,62 @@ def _wrap_no_uncertainty(model):
     return _Adapter(model)
 
 
-def train(cfg: TrainConfig, loader=None, max_steps: int | None = None):
+def build_eval_predictor(cfg: TrainConfig, params, eval_iters: int = 10,
+                         kernel_size: int = 10):
+    """Test-mode predictor over the CURRENT params for in-training eval
+    (reference run_test_eval, train.py:302-321)."""
+    from ppmstereo_tpu.models.zoo import StereoVideoPredictor
+
+    name_map = {
+        "ppmstereo": "PPMStereoModel",
+        "memstereo": "PPMStereoModel",
+        "ppmstereo_vda": "PPMStereoVDAModel",
+        "dynamicstereo": "DynamicStereoModel",
+        "bidastereo": "BiDAStereoModel",
+        "stereoanyvideo": "StereoAnyVideoModel",
+    }
+    from ppmstereo_tpu.models.zoo import _REGISTRY
+
+    build = _REGISTRY[name_map[cfg.model_name]]
+    kwargs = dict(mixed_precision=cfg.mixed_precision)
+    if cfg.model_name in ("ppmstereo", "memstereo", "ppmstereo_vda", "dynamicstereo"):
+        # the learned time embedding is sized by the training clip length
+        kwargs["num_frames"] = cfg.sample_len
+    return build(
+        kernel_size=kernel_size, iters=eval_iters, params=params, **kwargs
+    )
+
+
+def run_in_training_eval(cfg: TrainConfig, params, step: int, logger,
+                         eval_dataset=None):
+    from ppmstereo_tpu.evaluation.evaluator import EvalConfig, Evaluator
+    from ppmstereo_tpu.evaluation.visualization import colorize_disparity
+
+    if eval_dataset is None:
+        from ppmstereo_tpu.data.datasets import SyntheticStereoDataset
+
+        eval_dataset = SyntheticStereoDataset(
+            num_seqs=2, sample_len=4, height=cfg.crop_size[0],
+            width=cfg.crop_size[1],
+        )
+    predictor = build_eval_predictor(cfg, params)
+    evaluator = Evaluator(EvalConfig(exp_dir=cfg.exp_dir))
+    results = evaluator.evaluate_sequence(predictor, eval_dataset)
+    evaluator.dump(results, "intrain", step)
+    logger.write_dict(step, results["aggregate"], prefix="eval/")
+    # disparity image dump (reference train_utils/utils.py:113-177)
+    if logger.writer is not None:
+        sample = eval_dataset[0]
+        out = predictor({"stereo_video": sample["img"][:2]})
+        img = colorize_disparity(out["disparity"][0, ..., 0])
+        logger.writer.add_image(
+            "eval/disparity", img.transpose(2, 0, 1), step
+        )
+    return results
+
+
+def train(cfg: TrainConfig, loader=None, max_steps: int | None = None,
+          eval_dataset=None, enable_eval: bool = False):
     """Run training; returns the final TrainState. `loader` defaults to
     fetch_dataloader (SceneFlow + DynamicReplica, synthetic fallback)."""
     from ppmstereo_tpu.data.datasets import fetch_dataloader
@@ -176,33 +231,41 @@ def train(cfg: TrainConfig, loader=None, max_steps: int | None = None):
     limit = max_steps if max_steps is not None else cfg.num_steps
     t_last = time.perf_counter()
 
-    with mesh:
-        done = False
-        while not done:
-            for batch in loader:
+    done = False
+    while not done:
+        for batch in loader:
+            with mesh:
                 batch = {
                     k: jax.device_put(jnp.asarray(v), batch_shardings[k])
                     for k, v in batch.items()
                 }
                 state, metrics = step_fn(state, batch)
-                total_steps += 1
+            total_steps += 1
 
-                if total_steps % 10 == 0:
-                    metrics = {k: float(v) for k, v in metrics.items()}
-                    now = time.perf_counter()
-                    metrics["steps_per_s"] = 10 / (now - t_last)
-                    t_last = now
-                    logger.push(total_steps, metrics)
+            if total_steps % 10 == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                now = time.perf_counter()
+                metrics["steps_per_s"] = 10 / (now - t_last)
+                t_last = now
+                logger.push(total_steps, metrics)
 
-                if (
-                    total_steps % cfg.save_freq == 0
-                    and total_steps > cfg.ckpt_after_steps
-                ):
-                    ckpt.save(total_steps, jax.device_get(state))
+            if (
+                total_steps % cfg.save_freq == 0
+                and total_steps > cfg.ckpt_after_steps
+            ):
+                ckpt.save(total_steps, jax.device_get(state))
 
-                if total_steps >= limit:
-                    done = True
-                    break
+            if enable_eval and total_steps % cfg.eval_freq == 0:
+                # outside the mesh context: the eval predictor runs
+                # single-device jit over the current params
+                run_in_training_eval(
+                    cfg, jax.device_get(state).params, total_steps,
+                    logger, eval_dataset,
+                )
+
+            if total_steps >= limit:
+                done = True
+                break
 
     ckpt.save(total_steps, jax.device_get(state))
     ckpt.wait()

@@ -134,9 +134,14 @@ class TestTrainerSmoke:
             exp_dir=str(tmp_path),
             num_steps=50,
             num_workers=1,
+            eval_freq=2,
         )
-        state = train(cfg, max_steps=2)
+        state = train(cfg, max_steps=2, enable_eval=True)
         assert int(state.step) == 2
+        import glob
+        import os
+
+        assert glob.glob(os.path.join(str(tmp_path), "result_intrain_*.json"))
 
 
 class TestCheckpoints:
