@@ -63,7 +63,8 @@ def sk_gru3d_mapping(t: str, f: str) -> dict[str, str]:
 
 
 def sequence_update_block3d_mapping(
-    t: str, f: str, with_init_conv: bool = True
+    t: str, f: str, with_init_conv: bool = True,
+    attention_type: str | None = None,
 ) -> dict[str, str]:
     """SequenceUpdateBlock3D (ppmtereo_update.py:880-1003), convex-3D.
 
@@ -87,6 +88,14 @@ def sequence_update_block3d_mapping(
     m.update(_conv(f"{t}.mask_3d.2", f"{f}/mask_conv2/Conv_0"))
     m.update(_conv_nb(f"{t}.aggregator.to_v", f"{f}/aggregator/to_v/Conv_0"))
     m[f"{t}.aggregator.beta"] = f"{f}/aggregator/beta"
+    at = attention_type or ""
+    if "update_time" in at:
+        m.update(time_attn_mapping(f"{t}.time_attn", f"{f}/time_attn"))
+    if "update_space" in at:
+        m.update(loftr_layer_mapping(
+            f"{t}.space_attn.encoder_layer",
+            f"{f}/space_attn/LoFTREncoderLayer_0",
+        ))
     return m
 
 
@@ -133,8 +142,78 @@ def sst_mapping(f: str = "sst", attention_type: str | None = None,
     return m
 
 
-def ppmstereo_mapping(attention_type: str | None = None) -> dict[str, str]:
-    """Full PPMStereo (no-cnet) torch->flax mapping."""
+def convnext_mapping(t: str, f: str, depths=(3, 3, 9, 3)) -> dict[str, str]:
+    """ConvNeXt-V2 backbone (reference convnext.py:81-143). The final
+    norm/head exist in torch checkpoints but are unused by the context
+    net (forward_features only) and have no flax counterpart."""
+    m = {}
+    m.update(_conv(f"{t}.downsample_layers.0.0", f"{f}/Conv_0"))
+    m[f"{t}.downsample_layers.0.1.weight"] = f"{f}/LayerNorm_0/scale"
+    m[f"{t}.downsample_layers.0.1.bias"] = f"{f}/LayerNorm_0/bias"
+    for i in (1, 2, 3):
+        m[f"{t}.downsample_layers.{i}.0.weight"] = f"{f}/LayerNorm_{i}/scale"
+        m[f"{t}.downsample_layers.{i}.0.bias"] = f"{f}/LayerNorm_{i}/bias"
+        m.update(_conv(f"{t}.downsample_layers.{i}.1", f"{f}/Conv_{i}"))
+    blk = 0
+    for si, depth in enumerate(depths):
+        for bj in range(depth):
+            tb = f"{t}.stages.{si}.{bj}"
+            fb = f"{f}/ConvNeXtBlock_{blk}"
+            m.update(_conv(f"{tb}.dwconv", f"{fb}/dwconv/Conv_0"))
+            m[f"{tb}.norm.weight"] = f"{fb}/LayerNorm_0/scale"
+            m[f"{tb}.norm.bias"] = f"{fb}/LayerNorm_0/bias"
+            m[f"{tb}.pwconv1.weight"] = f"{fb}/Dense_0/kernel"
+            m[f"{tb}.pwconv1.bias"] = f"{fb}/Dense_0/bias"
+            m[f"{tb}.grn.gamma"] = f"{fb}/GRN_0/gamma"
+            m[f"{tb}.grn.beta"] = f"{fb}/GRN_0/beta"
+            m[f"{tb}.pwconv2.weight"] = f"{fb}/Dense_1/kernel"
+            m[f"{tb}.pwconv2.bias"] = f"{fb}/Dense_1/bias"
+            blk += 1
+    return m
+
+
+def contextnet_mapping(t: str = "cnet", f: str = "cnet") -> dict[str, str]:
+    """ContextNet ('Feature', reference convnext.py:202-264)."""
+    m = convnext_mapping(f"{t}.convnext", f"{f}/convnext")
+    for scale in ("16", "8", "4"):
+        m.update(_conv(f"{t}.upconv_{scale}.1", f"{f}/upconv_{scale}/Conv_0/Conv_0"))
+        m.update(_conv(f"{t}.decode_{scale}x.0", f"{f}/decode_{scale}x/Conv_0/Conv_0"))
+        m.update(_conv(f"{t}.decode_{scale}x.3", f"{f}/decode_{scale}x/Conv_1/Conv_0"))
+    return m
+
+
+# torch tensors with no flax counterpart by design (dead in the reference
+# inference path too)
+DEAD_REFERENCE_KEYS = (
+    ".encoder.init_conv.",  # only the 1/16 block's init_conv ever runs
+    "cnet.convnext.norm.",  # classification head, unused by Feature
+    "cnet.convnext.head.",
+    ".temporal_attn.qkv.",  # degenerate Attention never applies its qkv
+)
+
+
+def is_dead_reference_key(key: str, mapping: dict[str, str]) -> bool:
+    if key in mapping:
+        return False
+    return any(tag in key for tag in DEAD_REFERENCE_KEYS)
+
+
+def grn_transform(name: str, w):
+    """torch GRN params are (1,1,1,C); flax keeps (C,)."""
+    import numpy as np
+
+    from ppmstereo_tpu.utils.torch_import import convert_tensor
+
+    if ".grn." in name:
+        return np.asarray(w).reshape(-1)
+    return convert_tensor(name, w)
+
+
+def ppmstereo_mapping(
+    attention_type: str | None = None, use_cnet: bool = False
+) -> dict[str, str]:
+    """PPMStereo torch->flax mapping (full shipped config when
+    attention_type and use_cnet are set)."""
     m = basic_encoder_mapping("fnet", "fnet")
     for i in range(3):
         m.update(_conv_nb(f"att.{i}.to_qk", f"att_{i}/to_qk/Conv_0"))
@@ -143,7 +222,12 @@ def ppmstereo_mapping(attention_type: str | None = None) -> dict[str, str]:
             sequence_update_block3d_mapping(
                 f"update_block{s}", f"update_block{s}/update_block",
                 with_init_conv=(s == "16"),
+                # only the 1/16 block carries update-time/space attention
+                # (reference ppmstereo.py:103-117)
+                attention_type=attention_type if s == "16" else None,
             )
         )
     m.update(sst_mapping("sst", attention_type))
+    if use_cnet:
+        m.update(contextnet_mapping("cnet", "cnet"))
     return m

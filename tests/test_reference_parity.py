@@ -77,6 +77,41 @@ def reference_monkeypatched(reference_model):
     return reference_model
 
 
+@pytest.fixture(scope="module")
+def reference_model_full():
+    """Shipped config incl. real ConvNeXt cnet (random weights via a
+    patched torch.load) and all attention blocks."""
+    reference_stubs.install()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import importlib
+    from unittest import mock
+
+    import torch
+
+    cn = importlib.import_module("models.core.convnext")
+    ppm = importlib.import_module("models.core.ppmstereo")
+    importlib.reload(ppm)  # restore the real Feature if a prior test stubbed it
+
+    torch.manual_seed(1)
+    fake_backbone = cn.convnextv2_tiny().state_dict()
+    with mock.patch.object(torch, "load", lambda *a, **kw: {"model": fake_backbone}):
+        torch.manual_seed(0)
+        model = ppm.PPMStereo(
+            mixed_precision=False,
+            num_frames=5,
+            attention_type="self_stereo_temporal_update_time_update_space",
+            use_3d_update_block=True,
+            different_update_blocks=True,
+            use_convex_3d=True,
+        )
+    model.eval()
+    with torch.no_grad():
+        for blk in (model.update_block16, model.update_block08, model.update_block04):
+            blk.aggregator.beta.fill_(0.5)
+    return model
+
+
 def _torch_forward(model, left, right):
     import torch
 
@@ -140,3 +175,53 @@ def test_full_forward_parity(reference_model):
 
     uerr = np.abs(got_unc - want_unc)
     assert uerr.mean() < 1e-2, f"uncertainty mean abs err {uerr.mean()}"
+
+
+@pytest.mark.slow
+def test_full_shipped_config_parity(reference_model_full):
+    """Parity on the COMPLETE shipped configuration: ConvNeXt cnet + SST
+    self/cross/temporal attention + update-time/space attention."""
+    from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig
+    from ppmstereo_tpu.utils.ppm_mapping import (
+        grn_transform,
+        is_dead_reference_key,
+        ppmstereo_mapping,
+    )
+    from ppmstereo_tpu.utils.torch_import import import_by_mapping
+
+    at = "self_stereo_temporal_update_time_update_space"
+    rng = np.random.default_rng(7)
+    left = rng.uniform(0, 255, (1, T, H, W, 3)).astype(np.float32)
+    right = rng.uniform(0, 255, (1, T, H, W, 3)).astype(np.float32)
+
+    want_disp, want_unc = _torch_forward(reference_model_full, left, right)
+
+    cfg = PPMStereoConfig(
+        mixed_precision=False, use_cnet=True, attention_type=at,
+        num_frames=T, top_k=T, force_xla_attention=True,
+    )
+    model = PPMStereo(cfg=cfg, iters=ITERS, test_mode=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(left), jnp.asarray(right))
+
+    sd = {k: v.detach().numpy() for k, v in reference_model_full.state_dict().items()}
+    mapping = ppmstereo_mapping(attention_type=at, use_cnet=True)
+    new_inner, missing = import_by_mapping(
+        sd, params["params"], mapping, transform=grn_transform
+    )
+    unmapped = sorted(
+        k for k in set(sd) - set(mapping) if not is_dead_reference_key(k, mapping)
+    )
+    assert not missing, f"missing: {missing[:10]}"
+    assert not unmapped, f"unmapped reference tensors: {unmapped[:10]}"
+
+    got_disp, got_unc = model.apply(
+        {"params": new_inner}, jnp.asarray(left), jnp.asarray(right)
+    )
+    got_disp = np.asarray(got_disp)
+
+    # random weights yield near-zero disparities, so relative error is
+    # ill-conditioned; gate on absolute pixel error + correlation
+    err = np.abs(got_disp - want_disp)
+    corr = np.corrcoef(got_disp.ravel(), want_disp.ravel())[0, 1]
+    assert err.max() < 0.1, f"max abs err {err.max()} px"
+    assert corr > 0.998, f"correlation {corr}"
