@@ -101,10 +101,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
 
 
 def _play_attention_pallas(
-    q, k, v, scale, block_q: int = 1024, block_k: int = 1024
+    q, k, v, scale, block_q: int | None = None, block_k: int = 1024
 ):
     # 1024/1024 measured fastest on v5e at the 1/4-scale shapes
-    # (10x10240x51200xd128: 18.8ms ~= 73% of bf16 peak)
+    # (10x10240x51200xd128: 18.8ms ~= 73% of bf16 peak); small coarse-scale
+    # queries keep 512 to avoid padding waste
+    if block_q is None:
+        block_q = 1024 if q.shape[1] >= 4096 else 512
     from jax.experimental.pallas import tpu as pltpu  # noqa: F401
 
     b, lq, d = q.shape
@@ -146,8 +149,68 @@ def _on_tpu() -> bool:
         return False
 
 
+def _attention_bwd_xla(scale, res, g, q_chunk: int = 1024):
+    """Recompute-based attention backward, chunked over query blocks.
+
+    Standard softmax-attention gradients with f32 logits:
+      P = softmax(scale * Q K^T)
+      dV = P^T g;  dP = g V^T;  dS = P * (dP - rowsum(dP * P))
+      dQ = scale * dS K;  dK = scale * dS^T Q
+    """
+    q, k, v = res
+    b, lq, d = q.shape
+    pad = (-lq) % q_chunk
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+    nq = q.shape[1] // q_chunk
+    qb = jnp.moveaxis(q.reshape(b, nq, q_chunk, d), 1, 0)
+    gb = jnp.moveaxis(g.reshape(b, nq, q_chunk, d), 1, 0)
+
+    def chunk_fn(carry, qg):
+        dk_acc, dv_acc = carry
+        q_blk, g_blk = qg
+        s = jnp.einsum("bqd,bkd->bqk", q_blk, k, preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        g32 = g_blk.astype(jnp.float32)
+        dv = jnp.einsum("bqk,bqd->bkd", p, g32)
+        dp = jnp.einsum("bqd,bkd->bqk", g32, v.astype(jnp.float32))
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = scale * jnp.einsum("bqk,bkd->bqd", ds, k.astype(jnp.float32))
+        dk = scale * jnp.einsum("bqk,bqd->bkd", ds, q_blk.astype(jnp.float32))
+        return (dk_acc + dk, dv_acc + dv), dq
+
+    (dk, dv), dq = jax.lax.scan(
+        chunk_fn,
+        (
+            jnp.zeros(k.shape, jnp.float32),
+            jnp.zeros(v.shape, jnp.float32),
+        ),
+        (qb, gb),
+    )
+    dq = jnp.moveaxis(dq, 0, 1).reshape(b, nq * q_chunk, d)[:, :lq]
+    return dq.astype(res[0].dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _play_attention_tpu(q, k, v, scale):
+    return _play_attention_pallas(q, k, v, scale)
+
+
+def _play_attention_tpu_fwd(q, k, v, scale):
+    return _play_attention_pallas(q, k, v, scale), (q, k, v)
+
+
+def _play_attention_tpu_bwd(scale, res, g):
+    return _attention_bwd_xla(scale, res, g)
+
+
+_play_attention_tpu.defvjp(_play_attention_tpu_fwd, _play_attention_tpu_bwd)
+
+
 def play_attention(q, k, v, scale: float, force_xla: bool = False):
-    """Dispatch: Pallas flash kernel on TPU, chunked XLA elsewhere.
+    """Dispatch: Pallas flash kernel on TPU (custom VJP: flash forward,
+    chunked recompute backward), chunked XLA elsewhere.
 
     The reference computes this in bf16 (ppmstereo.py:550); callers pass
     bf16 q/k/v under the mixed-precision policy and the softmax runs in f32
@@ -156,4 +219,4 @@ def play_attention(q, k, v, scale: float, force_xla: bool = False):
     d = q.shape[-1]
     if force_xla or not _on_tpu() or d % 128 != 0:
         return _play_attention_xla(q, k, v, scale)
-    return _play_attention_pallas(q, k, v, scale)
+    return _play_attention_tpu(q, k, v, scale)

@@ -82,6 +82,10 @@ class PPMStereoConfig:
     # MultiLevelEncoder fused with frozen VideoDepthAnything maps
     use_vfm: bool = False
     vfm_encoder: str = "vits"
+    # rematerialize each scanned refinement iteration on the backward pass
+    # (activation memory: O(1) iterations instead of O(iters) — the
+    # jax.checkpoint analog of the reference's 48GB-GPU requirement)
+    remat: bool = True
 
     @property
     def dtype(self):
@@ -266,8 +270,13 @@ class PPMUpdateLoop(nn.Module):
                 flow_up = self.interp_scale * _resize_video(flow_up, (oh, ow))
             return carry, (flow_up[..., :1], unc_up)
 
+        body = step
+        if cfg.remat and self.collect_preds:
+            # only training needs the backward pass; prevent_cse is safe
+            # inside scan
+            body = nn.remat(step, prevent_cse=False)
         scan = nn.scan(
-            step,
+            body,
             variable_broadcast="params",
             split_rngs={"params": False},
             length=self.iters,

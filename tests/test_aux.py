@@ -59,3 +59,27 @@ def test_encoder_variants():
     p = fpn.init(jax.random.PRNGKey(0), x)
     out = fpn.apply(p, x)
     assert out.shape == (2, 8, 12, 64)
+
+
+def test_play_attention_vjp_matches_xla():
+    """Custom-VJP backward (used on TPU) must match XLA autodiff."""
+    from ppmstereo_tpu.kernels.play_attention import (
+        _attention_bwd_xla,
+        _play_attention_xla,
+    )
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2, 36, 16)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 50, 16)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 50, 16)).astype(np.float32))
+    scale = 0.17
+    g = jnp.asarray(rng.standard_normal((2, 36, 16)).astype(np.float32))
+
+    def ref(q, k, v):
+        return jnp.sum(_play_attention_xla(q, k, v, scale, q_chunk=8) * g)
+
+    dq_ref, dk_ref, dv_ref = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    dq, dk, dv = _attention_bwd_xla(scale, (q, k, v), g, q_chunk=8)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=1e-4, atol=1e-5)
