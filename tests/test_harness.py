@@ -185,3 +185,54 @@ class TestParallelStreaming:
         np.testing.assert_allclose(
             out_par["disparity"], out_seq["disparity"], rtol=1e-5, atol=1e-6
         )
+
+
+class TestLearning:
+    @pytest.mark.slow
+    def test_loss_decreases_overfitting_one_batch(self):
+        """30 update steps on one synthetic batch must cut the loss."""
+        import optax
+
+        from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig
+        from ppmstereo_tpu.train.loss import sequence_loss
+
+        cfg = PPMStereoConfig(
+            mixed_precision=False, use_cnet=False, top_k=2,
+            force_xla_attention=True, num_frames=2,
+        )
+        model = PPMStereo(cfg=cfg, iters=2, test_mode=False)
+
+        rng = np.random.default_rng(0)
+        from ppmstereo_tpu.data.datasets import SyntheticStereoDataset
+        ds = SyntheticStereoDataset(num_seqs=1, sample_len=2, height=64, width=128)
+        s = ds[0]
+        batch = {
+            "left": jnp.asarray(s["img"][None, :, 0]),
+            "right": jnp.asarray(s["img"][None, :, 1]),
+            "disparity": jnp.asarray(s["disp"][None, :, 0]),
+            "valid": jnp.asarray(s["valid"][None, :, 0]),
+        }
+
+        params = model.init(jax.random.PRNGKey(0), batch["left"], batch["right"])
+        tx = optax.adam(1e-4)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, batch):
+            def loss_fn(p):
+                preds, uncs = model.apply(p, batch["left"], batch["right"])
+                loss, _ = sequence_loss(
+                    preds, batch["disparity"], batch["valid"], uncertainties=uncs
+                )
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses = []
+        for _ in range(30):
+            params, opt_state, loss = step(params, opt_state, batch)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.8, f"{losses[0]} -> {losses[-1]}"
