@@ -33,7 +33,11 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     config = os.environ.get("BENCH_CONFIG", "short")
     if config == "full":
-        h, w, t_window, iters = 720, 1280, 20, 20
+        # 720p; kernel 10 is the reference's own reduced-memory operating
+        # point (README "GPU memory note") — kernel 20 needs ~14 GB for the
+        # correlation pyramid alone, beyond one v5e's HBM (use the
+        # space-sharded multi-chip path for that).
+        h, w, t_window, iters = 720, 1280, 10, 20
     else:
         h, w, t_window, iters = 320, 512, 10, 10
 

@@ -32,14 +32,17 @@ def corr_volume(fmap1: jax.Array, fmap2: jax.Array) -> jax.Array:
     """All-pairs correlation along the epipolar line.
 
     (B,H,W1,C) x (B,H,W2,C) -> (B,H,W1,W2), scaled by 1/sqrt(C)
-    (reference corr.py:96-104). Computed in the input dtype on the MXU with
-    f32 accumulation.
+    (reference corr.py:96-104). MXU matmul with f32 accumulation; the
+    result is stored back in the feature dtype — under mixed precision
+    that is bf16, exactly the reference's autocast behavior (its einsum
+    runs inside the bf16 autocast region, ppmstereo.py:617+corr.py:102)
+    and the difference between a 14.7 GB and 7.4 GB pyramid at 720p.
     """
     c = fmap1.shape[-1]
     corr = jnp.einsum(
         "bhic,bhjc->bhij", fmap1, fmap2, preferred_element_type=jnp.float32
     )
-    return corr / jnp.sqrt(jnp.float32(c))
+    return (corr / jnp.sqrt(jnp.float32(c))).astype(fmap1.dtype)
 
 
 def build_corr_pyramid(
