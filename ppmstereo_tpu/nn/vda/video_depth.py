@@ -140,7 +140,9 @@ def interp_ac_false_to(x, hw):
 
 
 def imagenet_normalize(images_0_255):
-    """(..., 3) RGB in [0,255] -> ImageNet-normalized."""
-    mean = jnp.asarray(IMAGENET_MEAN, images_0_255.dtype) * 255.0
-    std = jnp.asarray(IMAGENET_STD, images_0_255.dtype) * 255.0
-    return (images_0_255 - mean) / std
+    """(..., 3) RGB in [0,255] -> ImageNet-normalized. Computes in f32
+    regardless of input dtype (uint8 wire format would wrap otherwise)."""
+    x = images_0_255.astype(jnp.float32)
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+    std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
+    return (x - mean) / std
