@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ppmstereo_tpu.nn.common import Conv, Dense
+from ppmstereo_tpu.nn.common import Dense
 from ppmstereo_tpu.nn.encoder import BasicEncoder
 from ppmstereo_tpu.nn.update import SAVSequenceUpdateBlock3D
 from ppmstereo_tpu.nn.vda.video_depth import DepthExtractor, imagenet_normalize

@@ -15,7 +15,6 @@ registered here.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable
 
 import jax

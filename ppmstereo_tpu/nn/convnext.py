@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
-from jax.nn.initializers import normal, zeros
+from jax.nn.initializers import zeros
 
 from ppmstereo_tpu.nn.common import Conv
 from ppmstereo_tpu.nn.norm import InstanceNorm

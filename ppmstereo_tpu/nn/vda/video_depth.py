@@ -29,7 +29,7 @@ from flax import linen as nn
 from ppmstereo_tpu.nn.common import Conv
 from ppmstereo_tpu.nn.vda.dinov2 import DINOv2, intermediate_layer_idx, embed_dim
 from ppmstereo_tpu.nn.vda.dpt import DPTHeadTemporal
-from ppmstereo_tpu.ops.geometry import interp_bilinear
+
 
 _MODEL_CONFIGS = {
     "vits": {"features": 64, "out_channels": (48, 96, 192, 384)},

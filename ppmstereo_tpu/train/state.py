@@ -10,11 +10,9 @@ instead of param-group surgery.
 
 from __future__ import annotations
 
-from typing import Any
 
 import jax
 import optax
-from flax import traverse_util
 from flax.training import train_state
 
 

@@ -10,11 +10,8 @@ GradScaler machinery (bf16 on TPU needs no loss scaling).
 
 from __future__ import annotations
 
-import functools
-from typing import Any
 
 import jax
-import jax.numpy as jnp
 
 from ppmstereo_tpu.train.loss import sequence_loss
 

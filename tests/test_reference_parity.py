@@ -68,15 +68,6 @@ def reference_model():
     return model
 
 
-class _NoCnetPPM(type):
-    pass
-
-
-@pytest.fixture(scope="module")
-def reference_monkeypatched(reference_model):
-    return reference_model
-
-
 @pytest.fixture(scope="module")
 def reference_model_full():
     """Shipped config incl. real ConvNeXt cnet (random weights via a
