@@ -25,12 +25,31 @@ import numpy as np
 from ppmstereo_tpu.ops.padding import InputPadder
 
 
+def scale_shift_align(prev_overlap: np.ndarray, new_overlap: np.ndarray):
+    """Least-squares (scale, shift) aligning `new` onto `prev` over the
+    shared frames — the Video-Depth-Anything keyframe alignment pattern
+    (reference video_depth.py:124-160) applied to disparity windows."""
+    x = new_overlap.reshape(-1).astype(np.float64)
+    y = prev_overlap.reshape(-1).astype(np.float64)
+    var = x.var()
+    if var < 1e-12:
+        return 1.0, float(y.mean() - x.mean())
+    a = float(((x - x.mean()) * (y - y.mean())).mean() / var)
+    b = float(y.mean() - a * x.mean())
+    return a, b
+
+
 class SlidingWindowPredictor:
     """Drives a test-mode window function over long videos.
 
     window_fn(left, right) -> (disparity (1,T,H,W,1), uncertainty like it),
     where left/right are (1, T, H, W, 3) in [0, 255]. The predictor pads
     H/W to /32, jits per window length, and stitches.
+
+    align_windows=True additionally scale/shift-aligns each window onto
+    its predecessor over the overlapping frames before trimming — the
+    VDA streaming consistency pass the reference applies to long videos
+    (video_depth.py:96-160); off by default for strict reference parity.
     """
 
     def __init__(
@@ -38,10 +57,12 @@ class SlidingWindowPredictor:
         window_fn: Callable,
         kernel_size: int = 20,
         divis_by: int = 32,
+        align_windows: bool = False,
     ):
         self.window_fn = window_fn
         self.kernel_size = kernel_size
         self.divis_by = divis_by
+        self.align_windows = align_windows
         self._jitted: dict[tuple, Callable] = {}
 
     def _run_window(self, left: jax.Array, right: jax.Array):
@@ -90,9 +111,18 @@ class SlidingWindowPredictor:
             )
             pending.append((i, len(window), disp, unc))
 
+        prev_disp = None
+        prev_start = None
         for i, wlen, disp, unc in pending:
             disp = np.asarray(disp)
             unc = np.asarray(unc)
+            if self.align_windows and prev_disp is not None:
+                # overlap between window starting at prev_start and this one
+                ov = prev_start + len(prev_disp) - i
+                if ov > 0:
+                    a, b = scale_shift_align(prev_disp[-ov:], disp[:ov])
+                    disp = a * disp + b
+            prev_disp, prev_start = disp, i
             if i == 0:
                 # first window: trim the trailing stride//2 (reference :306)
                 disp_parts.append(disp[: -(stride // 2)])

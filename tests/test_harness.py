@@ -236,3 +236,42 @@ class TestLearning:
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0] * 0.8, f"{losses[0]} -> {losses[-1]}"
+
+
+class TestWindowAlignment:
+    def test_scale_shift_alignment_restores_consistency(self):
+        from ppmstereo_tpu.models.inference import (
+            SlidingWindowPredictor,
+            scale_shift_align,
+        )
+
+        a, b = scale_shift_align(
+            np.array([2.0, 4.0, 6.0]), np.array([1.0, 2.0, 3.0])
+        )
+        np.testing.assert_allclose([a, b], [2.0, 0.0], atol=1e-9)
+
+        # a window fn that returns a globally biased disparity for later
+        # windows: alignment should remove the inter-window jump
+        rng = np.random.default_rng(0)
+        base = rng.uniform(5, 10, (12, 8, 8, 1)).astype(np.float32)
+        video = np.zeros((12, 2, 8, 8, 3), np.float32)
+        calls = {"n": 0}
+
+        def window_fn(left, right):
+            t = left.shape[1]
+            start = calls["n"] * 2  # stride = 2 for kernel 4
+            calls["n"] += 1
+            bias = 0.0 if start == 0 else 3.0
+            d = jnp.asarray(base[start : start + t])[None] + bias
+            return d, jnp.zeros_like(d)
+
+        pred = SlidingWindowPredictor(window_fn, kernel_size=4, align_windows=True)
+        # bypass padding jit (H=8 not /32) by stubbing _run_window
+        pred._run_window = lambda l, r: tuple(
+            x[0] for x in window_fn(l[None], r[None])
+        )
+        out = pred(video)
+        d = out["disparity"]
+        assert d.shape == (12, 8, 8, 1)
+        # aligned output should match the unbiased base closely
+        np.testing.assert_allclose(d, np.abs(base), rtol=5e-2, atol=0.2)
