@@ -191,3 +191,33 @@ class MultiLevelEncoderVFM(nn.Module):
             jnp.concatenate([x4, v4, up4], axis=-1)
         )
         return f4, f8, f16
+
+
+class MultiLevelResNetFPN(nn.Module):
+    """3-scale ResNet-FPN variant (reference extractor.py:107-298,
+    available-but-unused): returns (1/4, 1/8, 1/16) maps."""
+
+    output_dim: int = 256
+    norm_fn: str = "instance"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(64, (7, 7), stride=2, kernel_init="kaiming_out", dtype=self.dtype)(x)
+        x = _make_norm(self.norm_fn)(x)
+        c2 = nn.relu(x)
+        c2 = ResidualBlock(64, self.norm_fn, 1, dtype=self.dtype)(c2)
+        c3 = ResidualBlock(128, self.norm_fn, 2, dtype=self.dtype)(c2)   # 1/4
+        c4 = ResidualBlock(256, self.norm_fn, 2, dtype=self.dtype)(c3)   # 1/8
+        c5 = ResidualBlock(512, self.norm_fn, 2, dtype=self.dtype)(c4)   # 1/16
+
+        def lateral(c, name):
+            return Conv(self.output_dim, (1, 1), padding=(0, 0),
+                        kernel_init="kaiming_out", dtype=self.dtype, name=name)(c)
+
+        p5 = lateral(c5, "lat5")
+        p4 = lateral(c4, "lat4") + jnp.repeat(jnp.repeat(p5, 2, -3), 2, -2)
+        p3 = lateral(c3, "lat3") + jnp.repeat(jnp.repeat(p4, 2, -3), 2, -2)
+        out = lambda p, n: Conv(self.output_dim, (3, 3), kernel_init="kaiming_out",
+                                dtype=self.dtype, name=n)(p)
+        return out(p3, "out4"), out(p4, "out8"), out(p5, "out16")
