@@ -83,3 +83,20 @@ def test_play_attention_vjp_matches_xla():
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_corr_lookup_matches_gather():
+    from ppmstereo_tpu.kernels.corr_lookup import corr_lookup_pallas
+    from ppmstereo_tpu.ops.corr import build_corr_pyramid, corr_lookup
+    from ppmstereo_tpu.ops.geometry import coords_grid_x
+
+    rng = np.random.default_rng(0)
+    B, H, W, C = 2, 12, 64, 16
+    f1 = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    flow = jnp.asarray((rng.standard_normal((B, H, W)) * 5).astype(np.float32))
+    pyr = build_corr_pyramid(f1, f2)
+    coords = coords_grid_x(B, H, W) + flow
+    ref = corr_lookup(pyr, coords, impl="gather")
+    got = corr_lookup_pallas(pyr, coords, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
