@@ -48,6 +48,7 @@ class TrainConfig:
     eval_freq: int = 5_000
     num_workers: int = 4
     seed: int = 0
+    log_freq: int = 100  # running-mean flush interval (reference SUM_FREQ)
     # mesh
     data_parallel: int = 0  # 0 = all devices
     seq_parallel: int = 1
@@ -227,8 +228,11 @@ def train(cfg: TrainConfig, loader=None, max_steps: int | None = None,
         logging.info(f"resumed from step {total_steps}")
     state = jax.device_put(state, state_sharding)
 
-    logger = MetricsLogger(cfg.exp_dir)
+    logger = MetricsLogger(cfg.exp_dir, sum_freq=cfg.log_freq)
     limit = max_steps if max_steps is not None else cfg.num_steps
+    # metric fetches force a device sync; amortize over up to 10 steps,
+    # but never coarser than the requested flush interval
+    push_every = max(1, min(10, cfg.log_freq))
     t_last = time.perf_counter()
 
     done = False
@@ -242,10 +246,10 @@ def train(cfg: TrainConfig, loader=None, max_steps: int | None = None,
                 state, metrics = step_fn(state, batch)
             total_steps += 1
 
-            if total_steps % 10 == 0:
+            if total_steps % push_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 now = time.perf_counter()
-                metrics["steps_per_s"] = 10 / (now - t_last)
+                metrics["steps_per_s"] = push_every / (now - t_last)
                 t_last = now
                 logger.push(total_steps, metrics)
 

@@ -40,6 +40,8 @@ class MetricsLogger:
             self.flush(step)
 
     def flush(self, step: int):
+        if not self.running:
+            return
         means = {
             k: self.running[k] / max(self.counts[k], 1) for k in self.running
         }
