@@ -39,12 +39,24 @@ def available_models() -> list[str]:
 
 
 def model_zoo(model_name: str, **kwargs):
-    """Build a ready-to-run predictor by name (reference model_zoo.py:28-44)."""
+    """Build a ready-to-run predictor by name (reference model_zoo.py:28-44).
+
+    `fast_mode=True` switches the sliding-window driver to
+    non-overlapping windows (~2x throughput, non-parity; see
+    SlidingWindowPredictor).
+    """
     if model_name not in _REGISTRY:
         raise ValueError(
             f"unknown model {model_name!r}; available: {available_models()}"
         )
-    return _REGISTRY[model_name](**kwargs)
+    fast_mode = kwargs.pop("fast_mode", False)
+    batch_windows = kwargs.pop("batch_windows", 1)
+    predictor = _REGISTRY[model_name](**kwargs)
+    if fast_mode:
+        predictor.predictor.fast_mode = True
+    if batch_windows > 1:
+        predictor.predictor.batch_windows = batch_windows
+    return predictor
 
 
 def _init_params(model, t, h, w, seed=0):
@@ -63,6 +75,8 @@ class StereoVideoPredictor:
         params=None,
         outputs_uncertainty: bool = False,
         init_hw: tuple[int, int] = (64, 128),
+        fast_mode: bool = False,
+        batch_windows: int = 1,
     ):
         self.kernel_size = kernel_size
         self.iters = iters
@@ -80,7 +94,10 @@ class StereoVideoPredictor:
                 return out  # (disparity, uncertainty)
             return out, jnp.zeros_like(out)
 
-        self.predictor = SlidingWindowPredictor(window_fn, kernel_size=kernel_size)
+        self.predictor = SlidingWindowPredictor(
+            window_fn, kernel_size=kernel_size, fast_mode=fast_mode,
+            batch_windows=batch_windows,
+        )
 
     def load_params(self, params):
         self.params = jax.tree_util.tree_map(jnp.asarray, params)

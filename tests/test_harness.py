@@ -187,6 +187,83 @@ class TestParallelStreaming:
         )
 
 
+class TestFastMode:
+    def test_fast_mode_covers_every_frame_untrimmed(self):
+        """stride == kernel: non-overlapping windows, all frames kept,
+        each output frame equals the direct per-window computation."""
+        from ppmstereo_tpu.models.inference import SlidingWindowPredictor
+
+        rng = np.random.default_rng(3)
+        video = rng.uniform(0, 255, (11, 2, 32, 32, 3)).astype(np.float32)
+
+        def window_fn(left, right):
+            d = jnp.mean(jnp.abs(left - right), axis=-1, keepdims=True)
+            return d, jnp.zeros_like(d)
+
+        fast = SlidingWindowPredictor(window_fn, kernel_size=4, fast_mode=True)
+        out = fast(video)
+        assert out["disparity"].shape == (11, 32, 32, 1)
+
+        # per-frame expectation: window_fn on this toy model is per-frame
+        expect = np.abs(video[:, 0] - video[:, 1]).mean(-1, keepdims=True)
+        np.testing.assert_allclose(out["disparity"], expect, rtol=1e-5, atol=1e-5)
+
+    def test_fast_mode_runs_fewer_windows(self):
+        from ppmstereo_tpu.models.inference import SlidingWindowPredictor
+
+        def window_fn(left, right):
+            d = jnp.mean(jnp.abs(left - right), axis=-1, keepdims=True)
+            return d, jnp.zeros_like(d)
+
+        rng = np.random.default_rng(3)
+        video = rng.uniform(0, 255, (16, 2, 32, 32, 3)).astype(np.float32)
+
+        def count_windows(pred):
+            n = 0
+            orig = pred._run_window
+
+            def counting(left, right):
+                nonlocal n
+                n += 1
+                return orig(left, right)
+
+            pred._run_window = counting
+            pred(video)
+            return n
+
+        n_fast = count_windows(
+            SlidingWindowPredictor(window_fn, kernel_size=4, fast_mode=True)
+        )
+        n_parity = count_windows(SlidingWindowPredictor(window_fn, kernel_size=4))
+        # parity: starts 0,2,...,14 (tail window len 2 == stride is kept)
+        assert n_fast == 4 and n_parity == 8
+
+
+class TestBatchedWindows:
+    def test_batched_matches_sequential(self):
+        """batch_windows groups independent windows on a batch axis; the
+        stitched output must match the sequential driver."""
+        from ppmstereo_tpu.models.inference import SlidingWindowPredictor
+
+        def window_fn(left, right):
+            # cross-frame coupling within a window (temporal mean) to
+            # catch any accidental cross-window mixing in the batch
+            d = jnp.mean(jnp.abs(left - right), axis=-1, keepdims=True)
+            return d + jnp.mean(d, axis=1, keepdims=True), jnp.zeros_like(d)
+
+        rng = np.random.default_rng(5)
+        video = rng.uniform(0, 255, (14, 2, 32, 32, 3)).astype(np.float32)
+
+        seq = SlidingWindowPredictor(window_fn, kernel_size=4)
+        bat = SlidingWindowPredictor(window_fn, kernel_size=4, batch_windows=3)
+        out_seq = seq(video)
+        out_bat = bat(video)
+        assert out_bat["disparity"].shape == out_seq["disparity"].shape
+        np.testing.assert_allclose(
+            out_bat["disparity"], out_seq["disparity"], rtol=1e-5, atol=1e-5
+        )
+
+
 class TestLearning:
     @pytest.mark.slow
     def test_loss_decreases_overfitting_one_batch(self):
