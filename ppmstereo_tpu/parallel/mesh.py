@@ -37,7 +37,27 @@ class MeshSpec:
         return self.data * self.seq * self.space
 
 
+def _disable_shardy_partitioner():
+    """Work around a Shardy partitioner miscompile (JAX 0.9 default).
+
+    The scanned PPM refinement loop produces wrong values (O(1) error,
+    uniform over all positions) when BOTH the seq and space mesh axes are
+    >1 and the loop is a lax.scan: unrolling the loop, or switching to
+    the classic GSPMD partitioner, is exact to 6e-7. Root-caused by
+    bisection in artifacts/bisect_shard*.py (single-device model is
+    NOT chaotic — 1e-6 input noise -> 1e-6 output change — so this is a
+    partitioner bug, not reduction-order noise). Classic GSPMD is
+    deprecated but correct on this program; revisit when Shardy fixes
+    land.
+    """
+    try:
+        jax.config.update("jax_use_shardy_partitioner", False)
+    except Exception:  # flag removed in a future JAX: assume fixed
+        pass
+
+
 def make_mesh(spec: MeshSpec | None = None, devices=None) -> Mesh:
+    _disable_shardy_partitioner()
     devices = devices if devices is not None else jax.devices()
     if spec is None:
         spec = MeshSpec(data=len(devices))

@@ -1,19 +1,19 @@
 """SPMD correctness: sharded forward vs single-device forward.
 
-Three levels of guarantee, each tested:
+All three sharding modes are exact (fp32 reduction noise only, ~1e-6):
 
-1. data-axis sharding (the training mode): bitwise-level parity
-   (~1e-7) — batches are independent.
-2. GRU-in-scan with seq/space sharding at the unit level: ~1e-6
-   (reduction-order noise from conv halo exchange inside while loops).
-3. full-model seq/space sharding: compiles, runs, and stays within a
-   loose tolerance at random init. XLA's spatial partitioning of the
-   conv stacks inside the scanned refinement loop reorders reductions,
-   and the recurrent cascade amplifies this to ~1e-1 at random
-   initialization; with a trained model the top-k pick is additionally
-   discrete. Exact-parity investigation continues (tracked in
-   ppmstereo-tpu-perf-notes); the multichip dryrun + these bounds gate
-   regressions meanwhile.
+1. data-axis sharding (the training mode) — batches are independent;
+2. GRU-in-scan with seq/space sharding at the unit level;
+3. the full model with seq AND space sharded simultaneously.
+
+Historical note: (3) used to diverge by ~1e-1. Bisection
+(artifacts/bisect_shard*.py) proved it was a Shardy-partitioner
+miscompile of the scanned PPM loop under 2-axis sharding — the
+single-device model is not chaotic (1e-6 input noise -> 1e-6 output
+change), an unrolled loop was exact, and the classic GSPMD partitioner
+was exact. make_mesh() now disables Shardy (parallel/mesh.py); these
+tests run at tight tolerances and act as the regression gate for
+re-enabling it.
 """
 
 import numpy as np
@@ -100,7 +100,10 @@ def test_gru_in_scan_seq_space_sharded_unit():
 
 
 @pytest.mark.slow
-def test_seq_space_sharded_forward_bounded():
+def test_seq_space_sharded_forward_exact():
+    """Guards the Shardy workaround in make_mesh: under the buggy
+    partitioner this diverges to ~1.6e-1; with classic GSPMD it is
+    exact to fp32 reduction noise."""
     left, right = _clip()
     model = PPMStereo(cfg=CFG, iters=2, test_mode=True)
     params = model.init(jax.random.PRNGKey(0), left, right)
@@ -108,8 +111,7 @@ def test_seq_space_sharded_forward_bounded():
 
     mesh = make_mesh(MeshSpec(data=1, seq=2, space=2))
     disp, _ = _run(model, params, left, right, mesh, P(None, "seq", "space"))
-    err = np.abs(np.asarray(disp) - np.asarray(disp_ref))
     assert np.isfinite(np.asarray(disp)).all()
-    assert err.max() < 0.5, f"max divergence {err.max()}"
-    corr = np.corrcoef(np.asarray(disp).ravel(), np.asarray(disp_ref).ravel())[0, 1]
-    assert corr > 0.98, f"correlation {corr}"
+    np.testing.assert_allclose(
+        np.asarray(disp), np.asarray(disp_ref), rtol=1e-4, atol=1e-4
+    )
