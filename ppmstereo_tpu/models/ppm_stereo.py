@@ -165,7 +165,7 @@ class PPMUpdateLoop(nn.Module):
         """
         cfg = self.cfg
         b, t, h, w, c = query_pe.shape
-        k = cfg.top_k
+        k = min(cfg.top_k, t)  # clips shorter than top_k pick every frame
         scale = c**-0.5 * math.log(2 * c, 12000)
 
         def rows(q_r, idx_r, sc_r):
@@ -241,7 +241,7 @@ class PPMUpdateLoop(nn.Module):
             frame_score = penalty * sim_score + frame_conf[:, None, :]
 
             # 4. pick top-k frames per target row, bump usage counters
-            sel_score, idx = jax.lax.top_k(frame_score, cfg.top_k)
+            sel_score, idx = jax.lax.top_k(frame_score, min(cfg.top_k, t))
             picked = jnp.sum(jax.nn.one_hot(idx, t, dtype=strive.dtype), axis=-2)
             strive = strive + picked
             # normalize by the mean over (batch, k) per target row
