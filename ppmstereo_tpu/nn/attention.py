@@ -206,3 +206,57 @@ class SpaceAttnBlock(nn.Module):
             tokens, tokens
         )
         return tokens.reshape(b, t, h, w, c)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP (ppmtereo_update.py:567-590). Dead in the shipped
+    reference config (only the commented-out 2-D update path used it);
+    carried for API completeness."""
+
+    hidden_features: int | None = None
+    out_features: int | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        hid = self.hidden_features or c
+        out = self.out_features or c
+        x = Dense(hid, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return Dense(out, dtype=self.dtype, name="fc2")(x)
+
+
+class RelPosEmb(nn.Module):
+    """Decomposed 2-D relative position bias (ppmtereo_update.py:372-397).
+    Dead in the shipped reference config; carried for API completeness.
+
+    q: (B, heads, H, W, d) -> scores (B, heads, H, W, H, W).
+    """
+
+    max_pos_size: int
+    dim_head: int
+
+    @nn.compact
+    def __call__(self, q):
+        n = 2 * self.max_pos_size - 1
+        # torch nn.Embedding default init: N(0, 1)
+        emb_init = jax.nn.initializers.normal(stddev=1.0)
+        rel_height = self.param("rel_height", emb_init, (n, self.dim_head))
+        rel_width = self.param("rel_width", emb_init, (n, self.dim_head))
+
+        _, _, h, w, _ = q.shape
+        deltas = jnp.arange(self.max_pos_size)[None, :] - jnp.arange(
+            self.max_pos_size
+        )[:, None]
+        rel_ind = deltas + self.max_pos_size - 1
+
+        height_emb = rel_height[rel_ind[:h, :h].reshape(-1)].reshape(
+            h, h, 1, self.dim_head
+        )
+        width_emb = rel_width[rel_ind[:w, :w].reshape(-1)].reshape(
+            w, 1, w, self.dim_head
+        )
+        height_score = jnp.einsum("bhxyd,xuvd->bhxyuv", q, height_emb)
+        width_score = jnp.einsum("bhxyd,yuvd->bhxyuv", q, width_emb)
+        return height_score + width_score

@@ -107,3 +107,29 @@ class BasicMotionEncoderV2(nn.Module):
         out = nn.relu(self.final_conv(cat))
         motion, hidden = out[..., :126], out[..., 126:]
         return jnp.concatenate([motion, flow], axis=-1), hidden
+
+
+class SKMotionEncoder(nn.Module):
+    """SKFlow-style PCBlock motion encoder
+    (ppmtereo_update.py:485-509, SKMotionEncoder6_Deep_nopool_res_Mem_skflow).
+    Dead in the shipped reference config (referenced only from the
+    commented-out 2-D update path, :1044); carried for API completeness."""
+
+    cor_planes: int
+    k_conv: tuple = (1, 15)
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        self.convc1 = PCBlock(self.cor_planes, 256, self.k_conv, dtype=self.dtype)
+        self.convc2 = PCBlock(256, 192, self.k_conv, dtype=self.dtype)
+        self.convf1 = Conv(128, (1, 1), padding=(0, 0), dtype=self.dtype)
+        self.convf2 = PCBlock(128, 64, self.k_conv, dtype=self.dtype)
+        self.conv = PCBlock(64 + 192, 126, self.k_conv, dtype=self.dtype)
+
+    def __call__(self, flow, corr):
+        cor = nn.gelu(self.convc1(corr), approximate=False)
+        cor = self.convc2(cor)
+        flo = self.convf1(flow)
+        flo = self.convf2(flo)
+        out = self.conv(jnp.concatenate([cor, flo], axis=-1))
+        return jnp.concatenate([out, flow], axis=-1)
