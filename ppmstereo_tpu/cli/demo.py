@@ -37,8 +37,20 @@ def colorize(disp: np.ndarray, vmin=None, vmax=None) -> np.ndarray:
     return cv2.applyColorMap((norm * 255).astype(np.uint8), cv2.COLORMAP_MAGMA)
 
 
+def _apply_platform(platform: str | None):
+    """Explicit jax platform override. The hosting environment may pin a
+    platform via env/sitecustomize before argv is seen, so an env var is
+    not enough — update jax.config before first backend use."""
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("ppmstereo_tpu.demo")
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (cpu|tpu|axon)")
     p.add_argument("--left", required=True, help="left frames directory")
     p.add_argument("--right", required=True, help="right frames directory")
     p.add_argument("--output", default="./outputs/demo")
@@ -51,6 +63,7 @@ def main(argv=None):
     p.add_argument("--fps", type=int, default=20)
     p.add_argument("--save_npz", action="store_true")
     args = p.parse_args(argv)
+    _apply_platform(args.platform)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     os.makedirs(args.output, exist_ok=True)

@@ -89,11 +89,24 @@ def run_eval(cfg: DefaultConfig):
     return results
 
 
+def _apply_platform(platform: str | None):
+    """Explicit jax platform override. The hosting environment may pin a
+    platform via env/sitecustomize before argv is seen, so an env var is
+    not enough — update jax.config before first backend use."""
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("ppmstereo_tpu.evaluate")
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (cpu|tpu|axon)")
     p.add_argument("--config", default=None)
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
+    _apply_platform(args.platform)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 

@@ -13,8 +13,20 @@ import argparse
 import logging
 
 
+def _apply_platform(platform: str | None):
+    """Explicit jax platform override. The hosting environment may pin a
+    platform via env/sitecustomize before argv is seen, so an env var is
+    not enough — update jax.config before first backend use."""
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("ppmstereo_tpu.train")
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (cpu|tpu|axon)")
     p.add_argument("--name", default="ppmstereo",
                    help="ppmstereo | ppmstereo_vda | dynamicstereo | bidastereo | stereoanyvideo")
     p.add_argument("--config", default=None, help="YAML TrainConfig preset")
@@ -35,6 +47,7 @@ def main(argv=None):
     p.add_argument("--space_parallel", type=int, default=1)
     p.add_argument("overrides", nargs="*", help="dotted KEY=VALUE overrides")
     args = p.parse_args(argv)
+    _apply_platform(args.platform)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
