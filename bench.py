@@ -67,7 +67,16 @@ def main():
     def window_fn(left, right):
         return model.apply(params, left, right)
 
-    predictor = SlidingWindowPredictor(window_fn, kernel_size=t_window)
+    # optional knobs (defaults preserve strict reference parity):
+    #   BENCH_BATCH_WINDOWS=N  batch N independent windows per device call
+    #                          (bit-identical stitching)
+    #   BENCH_FAST=1           non-overlapping windows (non-parity, ~2x)
+    batch_windows = int(os.environ.get("BENCH_BATCH_WINDOWS", "1"))
+    fast_mode = os.environ.get("BENCH_FAST", "0") == "1"
+    predictor = SlidingWindowPredictor(
+        window_fn, kernel_size=t_window, fast_mode=fast_mode,
+        batch_windows=batch_windows,
+    )
 
     # warmup (compile)
     _ = predictor(video[: t_window + t_window // 2])

@@ -22,6 +22,8 @@ class ModelConfig:
     kernel_size: int = 20
     iters: int = 20
     checkpoint: str = ""
+    fast_mode: bool = False  # non-overlapping windows (~2x, non-parity)
+    batch_windows: int = 1  # windows per device call (parity-safe)
 
 
 @dataclass
@@ -75,6 +77,8 @@ def run_eval(cfg: DefaultConfig):
         cfg.MODEL.model_name,
         kernel_size=cfg.MODEL.kernel_size,
         iters=cfg.MODEL.iters,
+        fast_mode=cfg.MODEL.fast_mode,
+        batch_windows=cfg.MODEL.batch_windows,
     )
     if cfg.MODEL.checkpoint:
         from ppmstereo_tpu.train.checkpoints import load_params
