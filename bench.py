@@ -23,8 +23,9 @@ import numpy as np
 
 # A100 reference fps/GPU estimates for the matching config (see BENCH_NOTES.md)
 A100_BASELINE_FPS = {
-    "short": 8.0,   # 320x512, kernel 10, iters 10
-    "full": 1.0,    # 720p, kernel 20, iters 20
+    "short": 8.0,     # 320x512, kernel 10, iters 10
+    "full": 1.0,      # 720p, kernel 20, iters 20
+    "full_k10": 1.3,  # 720p, kernel 10, iters 20 (reduced-memory fallback)
 }
 
 
@@ -33,10 +34,14 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     config = os.environ.get("BENCH_CONFIG", "short")
     if config == "full":
-        # 720p; kernel 10 is the reference's own reduced-memory operating
-        # point (README "GPU memory note") — kernel 20 needs ~14 GB for the
-        # correlation pyramid alone, beyond one v5e's HBM (use the
-        # space-sharded multi-chip path for that).
+        # BASELINE config #3 exactly: 720p, kernel_size=20, iters=20.
+        # Fits one v5e (measured 2026-08-17: 36.45 s/window device-side,
+        # artifacts/try_720p_k20.py) — the earlier ~14 GB multi-chip-only
+        # estimate was wrong.
+        h, w, t_window, iters = 720, 1280, 20, 20
+    elif config == "full_k10":
+        # the reference's own reduced-memory fallback (README "GPU
+        # memory note")
         h, w, t_window, iters = 720, 1280, 10, 20
     else:
         h, w, t_window, iters = 320, 512, 10, 10
