@@ -78,18 +78,21 @@ class DSUpdateLoop(nn.Module):
         mask0 = jnp.zeros((b, t, h, w, 9 * 16), cfg.dtype)
 
         def step(module, carry, _):
-            flow, net, _ = carry
+            flow, net = carry[0], carry[1]
             coords_x = coords0 + flow[..., 0].reshape(b * t, h, w)
             corrs = corr_lookup(pyramid, coords_x, cfg.corr_radius)
             corrs = corrs.reshape(b, t, h, w, -1).astype(cfg.dtype)
 
+            # inference consumes only the final mask (recomputed from the
+            # final net post-scan) — skip the mask head inside the scan
             net, mask, delta = module.update_block(
-                net, inp, corrs, flow.astype(cfg.dtype)
+                net, inp, corrs, flow.astype(cfg.dtype),
+                compute_mask=self.collect_preds,
             )
             flow = flow + delta.astype(jnp.float32)
-            carry = (flow, net, mask)
             if not self.collect_preds:
-                return carry, None
+                return (flow, net), None
+            carry = (flow, net, mask)
 
             flow_up = _upsample_flow_2d(flow, mask)
             if self.interp_scale > 1:
@@ -104,7 +107,11 @@ class DSUpdateLoop(nn.Module):
             split_rngs={"params": False},
             length=self.iters,
         )
-        (flow, net, mask_last), ys = scan(self, (flow, net, mask0), None)
+        if self.collect_preds:
+            (flow, net, mask_last), ys = scan(self, (flow, net, mask0), None)
+        else:
+            (flow, net), ys = scan(self, (flow, net), None)
+            mask_last = self.update_block.get_mask(net)
         flow_out = _upsample_flow_2d(flow, mask_last)
         return flow, flow_out, net, ys
 

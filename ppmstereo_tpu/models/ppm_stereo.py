@@ -219,7 +219,10 @@ class PPMUpdateLoop(nn.Module):
         strive = jnp.ones((b, t, t), jnp.float32)
 
         def step(module, carry, _):
-            flow, net, motion_hidden, strive, _, _ = carry
+            if self.collect_preds:
+                flow, net, motion_hidden, strive, _, _ = carry
+            else:
+                flow, net, motion_hidden, strive, _ = carry
 
             # 1. pyramid lookup around current disparity (f32)
             coords_x = coords0 + flow[..., 0].reshape(b * t, h, w)
@@ -254,13 +257,17 @@ class PPMUpdateLoop(nn.Module):
             beta = module.update_block.aggregator.beta.astype(cfg.dtype)
             motion_global = motion + beta * hidden_states
 
-            # 6. GRU update + heads
-            net, mask, delta = module.update_block(net, inp, motion, motion_global)
+            # 6. GRU update + heads. Inference consumes only the final
+            # mask (post-scan, from the final net) — skip the 432-ch
+            # mask head inside the scan there.
+            net, mask, delta = module.update_block(
+                net, inp, motion, motion_global, compute_mask=self.collect_preds
+            )
             flow = flow + delta.astype(jnp.float32)
 
-            carry = (flow, net, motion_hidden, strive, mask, uncertainty)
             if not self.collect_preds:
-                return carry, None
+                return (flow, net, motion_hidden, strive, uncertainty), None
+            carry = (flow, net, motion_hidden, strive, mask, uncertainty)
 
             flow_up = _upsample_flow(cfg, flow, mask)
             unc_up = _interp_ac_false(unc32, 4 * self.interp_scale)
@@ -281,8 +288,17 @@ class PPMUpdateLoop(nn.Module):
             split_rngs={"params": False},
             length=self.iters,
         )
-        carry, ys = scan(self, (flow, net, motion_hidden, strive, mask0, unc0), None)
-        flow, net, motion_hidden, _, mask_last, unc_last = carry
+        if self.collect_preds:
+            init = (flow, net, motion_hidden, strive, mask0, unc0)
+            carry, ys = scan(self, init, None)
+            flow, net, motion_hidden, _, mask_last, unc_last = carry
+        else:
+            init = (flow, net, motion_hidden, strive, unc0)
+            carry, ys = scan(self, init, None)
+            flow, net, motion_hidden, _, unc_last = carry
+            # identical to the last in-scan mask: it is a pure function
+            # of the final GRU state
+            mask_last = self.update_block.get_mask(net)
 
         flow_out = _upsample_flow(cfg, flow, mask_last)
         preds, uncs = ys if self.collect_preds else (None, None)

@@ -142,12 +142,15 @@ class RAFTUpdateBlock(nn.Module):
         self.mask_conv1 = Conv(256, (3, 3), dtype=self.dtype)
         self.mask_conv2 = Conv(64 * 9, (1, 1), padding=(0, 0), dtype=self.dtype)
 
-    def __call__(self, net, inp, corr, flow):
+    def get_mask(self, net):
+        return 0.25 * self.mask_conv2(nn.relu(self.mask_conv1(net)))
+
+    def __call__(self, net, inp, corr, flow, compute_mask: bool = True):
         motion = self.encoder(flow, corr)
         x = jnp.concatenate([inp, motion], axis=-1)
         net = self.gru(net, x)
         delta = self.flow_conv2(nn.relu(self.flow_conv1(net)))
-        mask = 0.25 * self.mask_conv2(nn.relu(self.mask_conv1(net)))
+        mask = self.get_mask(net) if compute_mask else None
         return net, mask, delta
 
 
@@ -188,21 +191,23 @@ class RAFT(nn.Module):
         )
 
         def step(module, carry, _):
-            flow, net, _ = carry
+            flow, net = carry
             corr = corr_lookup_2d(pyramid, coords0 + flow, cfg.corr_radius)
-            net, mask, delta = module.update_block(
-                net, inp, corr.astype(cfg.dtype), flow.astype(cfg.dtype)
+            # only the final mask is consumed — recomputed post-scan
+            net, _, delta = module.update_block(
+                net, inp, corr.astype(cfg.dtype), flow.astype(cfg.dtype),
+                compute_mask=False,
             )
             flow = flow + delta.astype(jnp.float32)
-            return (flow, net, mask), None
+            return (flow, net), None
 
         scan = nn.scan(
             step, variable_broadcast="params", split_rngs={"params": False},
             length=self.iters,
         )
         flow0 = jnp.zeros((b, h8, w8, 2), jnp.float32)
-        mask0 = jnp.zeros((b, h8, w8, 64 * 9), cfg.dtype)
-        (flow, net, mask_last), _ = scan(self, (flow0, net, mask0), None)
+        (flow, net), _ = scan(self, (flow0, net), None)
+        mask_last = self.update_block.get_mask(net)
 
         # RAFT's convex upsample is rate 8; reuse the rate-parametric op
         flow_up = convex_upsample_2d(flow, mask_last, rate=8)

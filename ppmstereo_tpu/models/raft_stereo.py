@@ -110,7 +110,7 @@ class RAFTStereo(nn.Module):
         coords0 = coords_grid_x(n, h4, w4)
 
         def step(module, carry, _):
-            flow, net4, net8, net16, _ = carry
+            flow, net4, net8, net16 = carry
 
             # slow-fast GRU hierarchy: coarse levels first
             net16 = module.gru16(
@@ -139,18 +139,19 @@ class RAFTStereo(nn.Module):
             # stereo: zero out the y component (RAFT-Stereo convention)
             delta = delta.at[..., 1].set(0.0)
             flow = flow + delta.astype(jnp.float32)
-            mask = 0.25 * self.mask_conv2(nn.relu(self.mask_conv1(net4)))
-            return (flow, net4, net8, net16, mask), None
+            return (flow, net4, net8, net16), None
 
         scan = nn.scan(
             step, variable_broadcast="params", split_rngs={"params": False},
             length=self.iters,
         )
         flow0 = jnp.zeros((n, h4, w4, 2), jnp.float32)
-        mask0 = jnp.zeros((n, h4, w4, 16 * 9), cfg.dtype)
-        (flow, *_nets, mask_last), _ = scan(
-            self, (flow0, nets[0], nets[1], nets[2], mask0), None
+        (flow, net4, *_nets), _ = scan(
+            self, (flow0, nets[0], nets[1], nets[2]), None
         )
+        # only the final mask is consumed; it is a pure function of the
+        # final 1/4-scale GRU state, so compute it once post-scan
+        mask_last = 0.25 * self.mask_conv2(nn.relu(self.mask_conv1(net4)))
 
         flow_up = convex_upsample_2d(flow, mask_last, rate=4)
         return flow_up[..., :1]

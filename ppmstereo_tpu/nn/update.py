@@ -102,11 +102,18 @@ class SequenceUpdateBlock3D(nn.Module):
         u = nn.relu(self.unc_conv1(net_and_value))
         return nn.sigmoid(self.unc_conv2(u))
 
-    def __call__(self, net, inp, motion_features, motion_features_global):
+    def get_mask(self, net):
+        """Convex-upsample mask head on the GRU output. Split out so
+        inference can run it once after the scan instead of per
+        iteration (only the final mask is consumed in test mode)."""
+        return 0.25 * self.mask_conv2(nn.relu(self.mask_conv1(net)))
+
+    def __call__(self, net, inp, motion_features, motion_features_global,
+                 compute_mask: bool = True):
         """GRU update (ppmtereo_update.py:971-1003).
 
         net: (B,T,H,W,128); inp/motion/motion_global: (B,T,H,W,128).
-        Returns (net, mask(27·ms² or 9·ms²), delta_flow(2)).
+        Returns (net, mask(27·ms² or 9·ms²) or None, delta_flow(2)).
         """
         x = jnp.concatenate([inp, motion_features, motion_features_global], axis=-1)
         if self.attention_type is not None and "update_time" in self.attention_type:
@@ -116,7 +123,7 @@ class SequenceUpdateBlock3D(nn.Module):
 
         net = self.gru(net, x)
         delta_flow = self.flow_head(net)
-        mask = 0.25 * self.mask_conv2(nn.relu(self.mask_conv1(net)))
+        mask = self.get_mask(net) if compute_mask else None
         return net, mask, delta_flow
 
 
@@ -192,8 +199,12 @@ class DSSequenceUpdateBlock3D(nn.Module):
         if self.attention_type is not None and "update_space" in self.attention_type:
             self.space_attn = SpaceAttnBlock(dim=256, num_heads=8, dtype=self.dtype)
 
-    def __call__(self, net, inp, corrs, flow):
-        """All inputs (B, T, H, W, C). Returns (net, mask(9·ms²), delta)."""
+    def get_mask(self, net):
+        """Convex-upsample mask head; see SequenceUpdateBlock3D.get_mask."""
+        return 0.25 * self.mask_conv2(nn.relu(self.mask_conv1(net)))
+
+    def __call__(self, net, inp, corrs, flow, compute_mask: bool = True):
+        """All inputs (B, T, H, W, C). Returns (net, mask(9·ms²) or None, delta)."""
         motion = self.encoder(flow, corrs)
         x = jnp.concatenate([inp, motion], axis=-1)
         if self.attention_type is not None and "update_time" in self.attention_type:
@@ -203,5 +214,5 @@ class DSSequenceUpdateBlock3D(nn.Module):
 
         net = self.gru(net, x)
         delta_flow = self.flow_head(net)
-        mask = 0.25 * self.mask_conv2(nn.relu(self.mask_conv1(net)))
+        mask = self.get_mask(net) if compute_mask else None
         return net, mask, delta_flow
