@@ -19,17 +19,21 @@ import ppmstereo_tpu.models.ppm_stereo as M
 from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig
 from ppmstereo_tpu.train.loss import sequence_loss
 
-B, T, H, W, ITERS = 1, 5, 320, 512, 10
+B = int(os.environ.get("TRAIN_B", "1"))
+T, H, W, ITERS = 5, 320, 512, 10
 MODE = os.environ.get("REMAT_MODE", "full")  # full | dots | none
+
+
+_orig_remat = M.nn.remat
 
 
 def patched_remat(step, prevent_cse=False):
     if MODE == "dots":
-        return M.nn.remat(
+        return _orig_remat(
             step, prevent_cse=prevent_cse,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
         )
-    return M.nn.remat(step, prevent_cse=prevent_cse)
+    return _orig_remat(step, prevent_cse=prevent_cse)
 
 
 if MODE == "dots":

@@ -41,3 +41,37 @@ def test_bidastereo_forward():
     np.testing.assert_allclose(
         np.asarray(preds[-1]), np.asarray(disp), rtol=1e-5, atol=1e-5
     )
+
+
+def test_bidastereo_gradients():
+    """Training-mode BiDAStereo backprops finite, nonzero gradients
+    through the update loop (the frozen RAFT flow provider sits under
+    stop_gradient and must receive zero gradient)."""
+    import numpy as np
+    from ppmstereo_tpu.train.loss import sequence_loss
+
+    rng = np.random.default_rng(7)
+    b, t, h, w = 1, 2, 48, 64
+    left = jnp.asarray(rng.uniform(0, 255, (b, t, h, w, 3)).astype(np.float32))
+    right = jnp.asarray(rng.uniform(0, 255, (b, t, h, w, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(-8, 0, (b, t, h, w, 1)).astype(np.float32))
+    valid = jnp.ones((b, t, h, w), jnp.float32)
+
+    model = BiDAStereo(cfg=BiDAStereoConfig(mixed_precision=False, raft_iters=2),
+                       iters=2, test_mode=False)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), left, right)
+
+    def loss_fn(p):
+        preds = model.apply(p, left, right)
+        loss, _ = sequence_loss(preds, gt, valid)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves_with_path(grads)
+    total = 0.0
+    for path, g in leaves:
+        arr = np.asarray(g)
+        assert np.isfinite(arr).all(), f"non-finite grad at {path}"
+        total += float(np.abs(arr).sum())
+    assert total > 0.0

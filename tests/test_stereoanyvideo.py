@@ -23,3 +23,36 @@ def test_stereoanyvideo_forward():
     np.testing.assert_allclose(
         np.asarray(preds[-1]), np.asarray(disp), rtol=1e-5, atol=1e-5
     )
+
+
+def test_stereoanyvideo_gradients():
+    """Training-mode StereoAnyVideo backprops finite, nonzero gradients
+    through the AAPC + update loop (frozen VDA depthnet under
+    stop_gradient)."""
+    from ppmstereo_tpu.train.loss import sequence_loss
+
+    rng = np.random.default_rng(9)
+    # H/W must be /32-divisible (the zoo predictor's InputPadder
+    # guarantees this in production)
+    b, t, h, w = 1, 2, 64, 128
+    left = jnp.asarray(rng.uniform(0, 255, (b, t, h, w, 3)).astype(np.float32))
+    right = jnp.asarray(rng.uniform(0, 255, (b, t, h, w, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(-8, 0, (b, t, h, w, 1)).astype(np.float32))
+    valid = jnp.ones((b, t, h, w), jnp.float32)
+
+    model = StereoAnyVideo(cfg=StereoAnyVideoConfig(), iters=2, test_mode=False)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), left, right)
+
+    def loss_fn(p):
+        preds = model.apply(p, left, right)
+        loss, _ = sequence_loss(preds, gt, valid)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    total = 0.0
+    for path, g in jax.tree_util.tree_leaves_with_path(grads):
+        arr = np.asarray(g)
+        assert np.isfinite(arr).all(), f"non-finite grad at {path}"
+        total += float(np.abs(arr).sum())
+    assert total > 0.0
