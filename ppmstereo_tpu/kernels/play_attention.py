@@ -50,11 +50,22 @@ def _play_attention_xla(q, k, v, scale, q_chunk: int = 1024):
     return out[:, :lq].astype(orig_dtype)
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_len):
     """Online-softmax flash attention: grid = (batch, q_blocks, k_blocks).
 
     The k axis is the innermost (fastest) grid dim, so (m, l, acc) scratch
     carries softmax state across k blocks for a fixed q block.
+
+    At d=128 single-head the kernel is VPU-bound (per-logit elementwise
+    work rivals the 2x128-MAC MXU time), so the elementwise ops are
+    trimmed: the softmax runs in base-2 (one multiply folds the scale and
+    the ln->log2 conversion; jnp.exp lowers to exp2 plus that multiply
+    anyway) and key-padding masking is skipped entirely when kv_len is
+    block-aligned, else reduced to a scalar-OR-block-local-iota test on
+    the final block only (padding never exceeds one block).
     """
     k_idx = pl.program_id(2)
     num_k = pl.num_programs(2)
@@ -72,20 +83,30 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * scale
+    # base-2 softmax: exp(scale*s - m) == exp2(scale*log2(e)*s - m2)
+    s = s * (scale * _LOG2E)
 
-    # mask out key padding in the last block
     blk_k = k.shape[0]
-    col = k_idx * blk_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, _NEG_INF)
+    rem = kv_len % blk_k
+    if rem:  # static: padding exists, and only the last block holds it;
+        # scalar cond so every full block skips the per-element select
+        s = jax.lax.cond(
+            k_idx == num_k - 1,
+            lambda s: jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) < rem,
+                s, _NEG_INF,
+            ),
+            lambda s: s,
+            s,
+        )
 
     m_prev = m_ref[:]
     l_prev = l_ref[:]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
 
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
@@ -101,7 +122,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
 
 
 def _play_attention_pallas(
-    q, k, v, scale, block_q: int | None = None, block_k: int = 1024
+    q, k, v, scale, block_q: int | None = None, block_k: int = 1024,
+    interpret: bool = False,
 ):
     # 1024/1024 measured fastest on v5e at the 1/4-scale shapes
     # (10x10240x51200xd128: 18.8ms ~= 73% of bf16 peak); small coarse-scale
@@ -138,6 +160,7 @@ def _play_attention_pallas(
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
+        interpret=interpret,
     )(q, k, v)
     return out[:, :lq]
 

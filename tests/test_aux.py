@@ -85,6 +85,30 @@ def test_play_attention_vjp_matches_xla():
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_flash_attention_matches_xla():
+    """Interpret-mode Pallas flash kernel vs the XLA fallback, covering
+    both mask branches: kv_len block-aligned (no masking compiled in)
+    and kv_len with a padded tail block."""
+    from ppmstereo_tpu.kernels.play_attention import (
+        _play_attention_pallas,
+        _play_attention_xla,
+    )
+
+    rng = np.random.default_rng(3)
+    for lk in (256, 200):  # aligned / padded tail
+        q = jnp.asarray(rng.standard_normal((2, 96, 128)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((2, lk, 128)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((2, lk, 128)).astype(np.float32))
+        scale = 0.13
+        ref = _play_attention_xla(q, k, v, scale, q_chunk=32)
+        got = _play_attention_pallas(
+            q, k, v, scale, block_q=64, block_k=128, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+
 def test_pallas_corr_lookup_matches_gather():
     from ppmstereo_tpu.kernels.corr_lookup import corr_lookup_pallas
     from ppmstereo_tpu.ops.corr import build_corr_pyramid, corr_lookup
