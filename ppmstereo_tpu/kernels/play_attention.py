@@ -51,6 +51,7 @@ def _play_attention_xla(q, k, v, scale, q_chunk: int = 1024):
 
 
 _LOG2E = 1.4426950408889634
+_LANES = 128
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_len):
@@ -66,6 +67,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
     anyway) and key-padding masking is skipped entirely when kv_len is
     block-aligned, else reduced to a scalar-OR-block-local-iota test on
     the final block only (padding never exceeds one block).
+
+    The m/l softmax state lives in (block_q, 128) full-lane tiles rather
+    than (block_q, 1) columns: sub-lane-width scratch forces strided
+    relayouts on every broadcast against the (block_q, block_k) logits,
+    which measured 589 -> 1033 ms at the 720p play shape (the single
+    biggest lever found for this kernel; layout borrowed from JAX's
+    reference TPU flash kernel).
     """
     k_idx = pl.program_id(2)
     num_k = pl.num_programs(2)
@@ -100,16 +108,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
             s,
         )
 
-    m_prev = m_ref[:]
-    l_prev = l_ref[:]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
+    m_prev = m_ref[:]  # (bq, 128)
+    l_prev = l_ref[:]  # (bq, 128)
+    m_cur = jnp.max(s, axis=1)[:, None]  # (bq, 1)
+    m_new = jnp.maximum(m_prev, m_cur)   # (bq, 128)
 
-    p = jnp.exp2(s - m_new)
-    alpha = jnp.exp2(m_prev - m_new)
-    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    reps = s.shape[1] // _LANES
+    p = jnp.exp2(s - (jnp.tile(m_new, (1, reps)) if reps > 1 else m_new))
+    alpha = jnp.exp2(m_prev - m_new)     # (bq, 128)
+    l_new = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
 
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+    d = acc_ref.shape[1]
+    d_tile = lambda x: jnp.tile(x, (1, d // _LANES)) if d > _LANES else x
+    acc_ref[:] = acc_ref[:] * d_tile(alpha) + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -118,18 +129,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
 
     @pl.when(k_idx == num_k - 1)
     def _finish():
-        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] / d_tile(l_ref[:])).astype(o_ref.dtype)
 
 
 def _play_attention_pallas(
-    q, k, v, scale, block_q: int | None = None, block_k: int = 1024,
+    q, k, v, scale, block_q: int | None = None, block_k: int = 512,
     interpret: bool = False,
 ):
-    # 1024/1024 measured fastest on v5e at the 1/4-scale shapes
-    # (10x10240x51200xd128: 18.8ms ~= 73% of bf16 peak); small coarse-scale
-    # queries keep 512 to avoid padding waste
+    # 2048/512 measured fastest on v5e with the lane-tiled m/l layout:
+    # 578 ms = 78% of bf16 peak at the 720p 1/4-scale play shape
+    # (10x58880x294400xd128) and 21.0 ms at the short shape
+    # (10x10240x51200xd128); small coarse-scale queries step down to
+    # avoid padding waste. block_k=1024 loses ~2% and bq=2048/bk=1024
+    # fails to compile (VMEM).
     if block_q is None:
-        block_q = 1024 if q.shape[1] >= 4096 else 512
+        block_q = 2048 if q.shape[1] >= 8192 else (
+            1024 if q.shape[1] >= 4096 else 512)
     from jax.experimental.pallas import tpu as pltpu  # noqa: F401
 
     b, lq, d = q.shape
@@ -156,8 +171,8 @@ def _play_attention_pallas(
         out_specs=pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, lq_p, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         interpret=interpret,
