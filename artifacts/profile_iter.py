@@ -15,7 +15,12 @@ from ppmstereo_tpu.ops.corr import build_corr_pyramid, corr_lookup
 from ppmstereo_tpu.ops.geometry import coords_grid_x
 from ppmstereo_tpu.ops.upsample import convex_upsample_3d
 
-B, T, H, W, C, N = 1, 10, 80, 128, 128, 20
+B = 1
+T = int(os.environ.get("T", "10"))
+H = int(os.environ.get("H", "80"))
+W = int(os.environ.get("W", "128"))
+C = 128
+N = int(os.environ.get("N", "20"))
 cfg = PPMStereoConfig(mixed_precision=True, use_cnet=True)
 model = PPMStereo(cfg=cfg, iters=10, test_mode=True)
 

@@ -95,14 +95,16 @@ def test_pallas_flash_attention_matches_xla():
     )
 
     rng = np.random.default_rng(3)
-    for lk in (256, 200):  # aligned / padded tail
+    # block_k=128 exercises reps==1 (no lane tile), 256 the reps>1
+    # jnp.tile broadcast of the (block_q, 128) m/l state
+    for lk, block_k in ((256, 128), (200, 128), (512, 256), (400, 256)):
         q = jnp.asarray(rng.standard_normal((2, 96, 128)).astype(np.float32))
         k = jnp.asarray(rng.standard_normal((2, lk, 128)).astype(np.float32))
         v = jnp.asarray(rng.standard_normal((2, lk, 128)).astype(np.float32))
         scale = 0.13
         ref = _play_attention_xla(q, k, v, scale, q_chunk=32)
         got = _play_attention_pallas(
-            q, k, v, scale, block_q=64, block_k=128, interpret=True
+            q, k, v, scale, block_q=64, block_k=block_k, interpret=True
         )
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
