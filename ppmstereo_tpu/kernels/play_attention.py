@@ -96,17 +96,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
 
     blk_k = k.shape[0]
     rem = kv_len % blk_k
-    if rem:  # static: padding exists, and only the last block holds it;
-        # scalar cond so every full block skips the per-element select
-        s = jax.lax.cond(
-            k_idx == num_k - 1,
-            lambda s: jnp.where(
-                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) < rem,
-                s, _NEG_INF,
-            ),
-            lambda s: s,
-            s,
-        )
+    if rem:  # static: key padding exists (callers avoid this by picking a
+        # block_k that divides kv_len — see _pick_block_k; a lax.cond that
+        # skips full blocks measured ~2x WORSE than this plain select:
+        # 146 vs ~75 ms at the 720p 1/8 shape)
+        col = k_idx * blk_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
 
     m_prev = m_ref[:]  # (bq, 128)
     l_prev = l_ref[:]  # (bq, 128)
@@ -132,16 +127,32 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
         o_ref[0] = (acc_ref[:] / d_tile(l_ref[:])).astype(o_ref.dtype)
 
 
+def _pick_block_k(kv_len: int) -> int:
+    """Largest well-measured block_k that divides kv_len, so the kernel
+    compiles with NO key-padding mask: any in-kernel masking of the tail
+    block measured ~2x slower at unaligned shapes (146 vs ~75 ms at the
+    720p 1/8 play shape). 640 divides every production bank length
+    (top_k * H/4 * W/4 with H,W multiples of 32 and an even tile count);
+    512/256 cover the pow-2 cases. Falls back to 512 + tail mask.
+    """
+    for bk in (512, 640, 256, 384, 128):
+        if kv_len % bk == 0:
+            return bk
+    return 512
+
+
 def _play_attention_pallas(
-    q, k, v, scale, block_q: int | None = None, block_k: int = 512,
+    q, k, v, scale, block_q: int | None = None, block_k: int | None = None,
     interpret: bool = False,
 ):
-    # 2048/512 measured fastest on v5e with the lane-tiled m/l layout:
-    # 578 ms = 78% of bf16 peak at the 720p 1/4-scale play shape
-    # (10x58880x294400xd128) and 21.0 ms at the short shape
-    # (10x10240x51200xd128); small coarse-scale queries step down to
-    # avoid padding waste. block_k=1024 loses ~2% and bq=2048/bk=1024
-    # fails to compile (VMEM).
+    # 2048/512 measured 78% of bf16 peak at the 720p 1/4-scale play shape
+    # (10x58880x294400xd128, v5e) with the lane-tiled m/l layout, and
+    # 21.0 ms at the short shape (10x10240x51200xd128); 4096/256 reached
+    # 81.8% but larger-bq grids hit flaky remote-compile failures, so the
+    # default stays at the robust point. Small coarse-scale queries step
+    # down to avoid padding waste.
+    if block_k is None:
+        block_k = _pick_block_k(k.shape[1])
     if block_q is None:
         block_q = 2048 if q.shape[1] >= 8192 else (
             1024 if q.shape[1] >= 4096 else 512)

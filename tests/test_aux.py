@@ -96,8 +96,10 @@ def test_pallas_flash_attention_matches_xla():
 
     rng = np.random.default_rng(3)
     # block_k=128 exercises reps==1 (no lane tile), 256 the reps>1
-    # jnp.tile broadcast of the (block_q, 128) m/l state
-    for lk, block_k in ((256, 128), (200, 128), (512, 256), (400, 256)):
+    # jnp.tile broadcast of the (block_q, 128) m/l state, 640 the
+    # alignment-preferred non-pow-2 block picked by _pick_block_k
+    for lk, block_k in ((256, 128), (200, 128), (512, 256), (400, 256),
+                        (1280, 640), (700, None)):
         q = jnp.asarray(rng.standard_normal((2, 96, 128)).astype(np.float32))
         k = jnp.asarray(rng.standard_normal((2, lk, 128)).astype(np.float32))
         v = jnp.asarray(rng.standard_normal((2, lk, 128)).astype(np.float32))
