@@ -198,8 +198,13 @@ class PPMUpdateLoop(nn.Module):
         if bank_elems <= _PLAY_CHUNK_BUDGET:
             return rows(query_pe, idx, score_norm).astype(cfg.dtype)
 
-        # chunk the target-frame axis to bound the gathered bank size
+        # chunk the target-frame axis to bound the gathered bank size;
+        # round to equal-size chunks (20 rows at budget 19 -> 10+10, not
+        # 19+1: the straggler would compile a second grid shape and run a
+        # near-empty kernel)
         rows_per = max(1, _PLAY_CHUNK_BUDGET // max(b * k * h * w * 2 * c, 1))
+        n_chunks = -(-t // rows_per)
+        rows_per = -(-t // n_chunks)
         outs = []
         for s in range(0, t, rows_per):
             e = min(s + rows_per, t)

@@ -90,3 +90,23 @@ def test_ppm_vda_variant():
     disp, unc = model.apply(params, left, right)
     assert disp.shape == (1, 2, 64, 128, 1)
     assert np.isfinite(np.asarray(disp)).all()
+
+
+def test_play_chunked_matches_unchunked(monkeypatch):
+    """Forcing the target-axis chunking in _play (production: 720p k20)
+    must be numerically identical to the single-batch path, and chunks
+    must be equal-size (no 1-row straggler graph)."""
+    import ppmstereo_tpu.models.ppm_stereo as ppm
+
+    left, right = _clip(t=4)
+    model = PPMStereo(cfg=TINY, iters=2, test_mode=True)
+    params = model.init(jax.random.PRNGKey(0), left, right)
+    ref = model.apply(params, left, right)
+
+    # bank at 1/4 of 64x128 with t=4,k=2,2c: 4*2*16*32*256 = 1,048,576
+    # elements; budget below that forces >=2 chunks at every scale
+    monkeypatch.setattr(ppm, "_PLAY_CHUNK_BUDGET", 600_000)
+    got = model.apply(params, left, right)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-5, atol=1e-5
+    )
