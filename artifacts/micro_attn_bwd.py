@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ppmstereo_tpu.kernels.play_attention import (
-    _play_attention_tpu, _play_attention_xla,
+    _play_attention_tpu, _play_attention_tpu_flashbwd, _play_attention_xla,
 )
 
 R, Lq, Lk, D = 5, 10240, 51200, 128
@@ -56,6 +56,11 @@ def bench(label, loss_fn, flops):
 # 1. current custom VJP
 bench("custom VJP (flash fwd, XLA bwd)",
       lambda q, k, v: jnp.sum(_play_attention_tpu(q, k, v, SCALE).astype(jnp.float32)),
+      FWD_FLOPS + BWD_FLOPS)
+
+# 1b. our flash bwd kernels (dq + dkv, PPM_FLASH_BWD path)
+bench("flash bwd (Pallas dq+dkv)",
+      lambda q, k, v: jnp.sum(_play_attention_tpu_flashbwd(q, k, v, SCALE).astype(jnp.float32)),
       FWD_FLOPS + BWD_FLOPS)
 
 # 2. jax flash fwd+bwd

@@ -17,6 +17,7 @@ Shapes: q (B, Lq, D), k/v (B, Lk, D) -> (B, Lq, D). D is the head dim
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -191,6 +192,260 @@ def _play_attention_pallas(
     return out[:, :lq]
 
 
+def _flash_fwd_res_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_out_ref, l_out_ref,
+    m_ref, l_ref, acc_ref, *, scale, kv_len,
+):
+    """Forward identical to _flash_kernel, additionally writing the
+    (base-2) row max and softmax denominator as (block_q, 128) lane
+    tiles — the residuals the flash backward kernels consume. Only used
+    under jax.grad (training); inference keeps the 2-output kernel.
+    """
+    k_idx = pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * (scale * _LOG2E)
+
+    blk_k = k.shape[0]
+    rem = kv_len % blk_k
+    if rem:
+        col = k_idx * blk_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_ref[:]
+    l_prev = l_ref[:]
+    m_cur = jnp.max(s, axis=1)[:, None]
+    m_new = jnp.maximum(m_prev, m_cur)
+
+    reps = s.shape[1] // _LANES
+    p = jnp.exp2(s - (jnp.tile(m_new, (1, reps)) if reps > 1 else m_new))
+    alpha = jnp.exp2(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+
+    d = acc_ref.shape[1]
+    d_tile = lambda x: jnp.tile(x, (1, d // _LANES)) if d > _LANES else x
+    acc_ref[:] = acc_ref[:] * d_tile(alpha) + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when(k_idx == num_k - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[:] / d_tile(l_ref[:])).astype(o_ref.dtype)
+        m_out_ref[0] = m_ref[:]
+        l_out_ref[0] = l_ref[:]
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, m_ref, linv_ref, di_ref, dq_ref,
+    dq_acc_ref, *, scale,
+):
+    """dq = scale * [pn ∘ (do V^T - di)] K, accumulated over k blocks.
+
+    pn is recomputed from the saved base-2 row max m and inverse
+    denominator linv; di = rowsum(do ∘ o) is precomputed in XLA. All
+    per-row residuals arrive as (block_q, 128) lane tiles whose block
+    index is constant over the k grid dim, so they are fetched once per
+    q block. Requires kv_len % block_k == 0 (callers guarantee it via
+    _pick_block_k; padded keys would otherwise contribute exp2(-m)).
+    """
+    k_idx = pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        dq_acc_ref[:] = jnp.zeros_like(dq_acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (scale * _LOG2E)
+    reps = s.shape[1] // _LANES
+    tile = lambda x: jnp.tile(x, (1, reps)) if reps > 1 else x
+    pn = jnp.exp2(s - tile(m_ref[0])) * tile(linv_ref[0])
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = pn * (dp - tile(di_ref[0]))
+
+    dq_acc_ref[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k_idx == num_k - 1)
+    def _finish():
+        dq_ref[0] = (dq_acc_ref[:] * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, m_ref, linv_ref, di_ref, dk_ref, dv_ref,
+    dk_acc_ref, dv_acc_ref, *, scale,
+):
+    """dk = scale * ds^T Q and dv = pn^T dO, accumulated over q blocks
+    (grid: batch, k_blocks, q_blocks with q innermost). Padded q rows
+    carry linv == 0 so pn == 0 and they contribute nothing.
+    """
+    q_idx = pl.program_id(2)
+    num_q = pl.num_programs(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_acc_ref[:] = jnp.zeros_like(dk_acc_ref)
+        dv_acc_ref[:] = jnp.zeros_like(dv_acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (scale * _LOG2E)
+    reps = s.shape[1] // _LANES
+    tile = lambda x: jnp.tile(x, (1, reps)) if reps > 1 else x
+    pn = jnp.exp2(s - tile(m_ref[0])) * tile(linv_ref[0])
+
+    dv_acc_ref[:] += jax.lax.dot_general(
+        pn.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = pn * (dp - tile(di_ref[0]))
+    dk_acc_ref[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(q_idx == num_q - 1)
+    def _finish():
+        dk_ref[0] = (dk_acc_ref[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc_ref[:].astype(dv_ref.dtype)
+
+
+def _flash_fwd_res(q, k, v, scale, block_q, block_k, interpret=False):
+    """Forward with residuals. Returns (out[B,Lq,D], m2[B,Lq_p,128],
+    l[B,Lq_p,128]) — m2/l stay padded (lane-tiled) for the bwd kernels.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, lq, d = q.shape
+    lk = k.shape[1]
+    pad_q = (-lq) % block_q
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+    lq_p = q.shape[1]
+    assert lk % block_k == 0, "flash bwd path requires aligned kv_len"
+
+    grid = (b, lq_p // block_q, lk // block_k)
+    out, m2, l = pl.pallas_call(
+        functools.partial(_flash_fwd_res_kernel, scale=scale, kv_len=lk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bi, qi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bi, qi, ki: (bi, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda bi, qi, ki: (bi, qi, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda bi, qi, ki: (bi, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, lq_p, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, lq_p, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :lq], m2, l
+
+
+def _flash_bwd(q, k, v, o, m2, l, g, scale, block_q, block_k, interpret=False):
+    """Flash backward: dq kernel (k-streaming) + dkv kernel (q-streaming)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, lq, d = q.shape
+    lk = k.shape[1]
+    assert lk % block_k == 0
+    pad_q = (-lq) % block_q
+    lq_p = lq + pad_q
+
+    di = jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
+    # lane-tile the per-row residuals; padded q rows get linv=0 -> pn=0
+    di = jnp.broadcast_to(di[..., None], (b, lq, _LANES))
+    linv = jnp.where(l > 0.0, 1.0 / l, 0.0)  # (b, lq_p, 128), pad rows l=0
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad_q), (0, 0)))
+        di = jnp.pad(di, ((0, 0), (0, pad_q), (0, 0)))
+    g = g.astype(q.dtype)
+
+    q_spec = pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0))
+    k_spec = pl.BlockSpec((1, block_k, d), lambda bi, qi, ki: (bi, ki, 0))
+    r_spec = pl.BlockSpec((1, block_q, _LANES), lambda bi, qi, ki: (bi, qi, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale),
+        grid=(b, lq_p // block_q, lk // block_k),
+        in_specs=[q_spec, k_spec, k_spec, q_spec, r_spec, r_spec, r_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, lq_p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, g, m2, linv, di)
+
+    # dkv grid: k blocks outer, q blocks inner
+    q_spec2 = pl.BlockSpec((1, block_q, d), lambda bi, ki, qi: (bi, qi, 0))
+    k_spec2 = pl.BlockSpec((1, block_k, d), lambda bi, ki, qi: (bi, ki, 0))
+    r_spec2 = pl.BlockSpec((1, block_q, _LANES), lambda bi, ki, qi: (bi, qi, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale),
+        grid=(b, lk // block_k, lq_p // block_q),
+        in_specs=[q_spec2, k_spec2, k_spec2, q_spec2, r_spec2, r_spec2, r_spec2],
+        out_specs=[k_spec2, k_spec2],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lk, d), k.dtype),
+            jax.ShapeDtypeStruct((b, lk, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, g, m2, linv, di)
+
+    return dq[:, :lq], dk, dv
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() in ("tpu", "axon")
@@ -257,6 +512,40 @@ def _play_attention_tpu_bwd(scale, res, g):
 _play_attention_tpu.defvjp(_play_attention_tpu_fwd, _play_attention_tpu_bwd)
 
 
+def _block_policy(lq: int, lk: int) -> tuple[int, int]:
+    block_k = _pick_block_k(lk)
+    block_q = 2048 if lq >= 8192 else (1024 if lq >= 4096 else 512)
+    return block_q, block_k
+
+
+# Flash backward (Pallas dq + dkv kernels) — opt-in until measured
+# against the chunked-XLA-recompute backward on real hardware
+# (artifacts/micro_attn_bwd.py). Requires block_k | kv_len.
+_FLASH_BWD = os.environ.get("PPM_FLASH_BWD", "0") == "1"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _play_attention_tpu_flashbwd(q, k, v, scale):
+    return _play_attention_pallas(q, k, v, scale)
+
+
+def _play_attention_tpu_flashbwd_fwd(q, k, v, scale):
+    block_q, block_k = _block_policy(q.shape[1], k.shape[1])
+    out, m2, l = _flash_fwd_res(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v, out, m2, l)
+
+
+def _play_attention_tpu_flashbwd_bwd(scale, res, g):
+    q, k, v, o, m2, l = res
+    block_q, block_k = _block_policy(q.shape[1], k.shape[1])
+    return _flash_bwd(q, k, v, o, m2, l, g, scale, block_q, block_k)
+
+
+_play_attention_tpu_flashbwd.defvjp(
+    _play_attention_tpu_flashbwd_fwd, _play_attention_tpu_flashbwd_bwd
+)
+
+
 def play_attention(q, k, v, scale: float, force_xla: bool = False):
     """Dispatch: Pallas flash kernel on TPU (custom VJP: flash forward,
     chunked recompute backward), chunked XLA elsewhere.
@@ -268,4 +557,6 @@ def play_attention(q, k, v, scale: float, force_xla: bool = False):
     d = q.shape[-1]
     if force_xla or not _on_tpu() or d % 128 != 0:
         return _play_attention_xla(q, k, v, scale)
+    if _FLASH_BWD and k.shape[1] % _pick_block_k(k.shape[1]) == 0:
+        return _play_attention_tpu_flashbwd(q, k, v, scale)
     return _play_attention_tpu(q, k, v, scale)

@@ -128,3 +128,39 @@ def test_pallas_corr_lookup_matches_gather():
     ref = corr_lookup(pyr, coords, impl="gather")
     got = corr_lookup_pallas(pyr, coords, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_flash_bwd_matches_xla_grads():
+    """Flash backward (dq/dkv Pallas kernels, interpret mode) vs autodiff
+    through the XLA fallback, covering padded q rows and reps>1 blocks."""
+    from ppmstereo_tpu.kernels.play_attention import (
+        _flash_bwd,
+        _flash_fwd_res,
+        _play_attention_xla,
+    )
+
+    rng = np.random.default_rng(7)
+    scale = 0.11
+    for lq, lk, bq, bk in ((200, 512, 64, 128), (128, 512, 64, 256)):
+        q = jnp.asarray(rng.standard_normal((2, lq, 128)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((2, lk, 128)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((2, lk, 128)).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal((2, lq, 128)).astype(np.float32))
+
+        out, m2, l = _flash_fwd_res(q, k, v, scale, bq, bk, interpret=True)
+        ref_out = _play_attention_xla(q, k, v, scale, q_chunk=32)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref_out), rtol=2e-5, atol=2e-5
+        )
+
+        dq, dk, dv = _flash_bwd(q, k, v, out, m2, l, g, scale, bq, bk,
+                                interpret=True)
+        ref_grads = jax.grad(
+            lambda q, k, v: jnp.sum(_play_attention_xla(q, k, v, scale) * g),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for got, ref, name in zip((dq, dk, dv), ref_grads, "dq dk dv".split()):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4,
+                err_msg=name,
+            )
