@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -95,11 +96,13 @@ def main():
             break
         except Exception as e:  # noqa: BLE001 - backend errors aren't typed
             msg = str(e)
-            transient = "remote_compile" in msg or "UNAVAILABLE" in msg
+            transient = any(s in msg for s in
+                            ("remote_compile", "UNAVAILABLE", "INTERNAL"))
             if not transient or attempt == 2:
                 raise
+            # stderr: stdout carries exactly ONE JSON line (the contract)
             print(f"# warmup compile flake (attempt {attempt + 1}): "
-                  f"{msg.splitlines()[0][:120]}", flush=True)
+                  f"{msg.splitlines()[0][:120]}", file=sys.stderr, flush=True)
             time.sleep(20)
 
     t0 = time.perf_counter()

@@ -55,7 +55,9 @@ _LOG2E = 1.4426950408889634
 _LANES = 128
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_len):
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, *rest, scale, kv_len, save_residuals=False
+):
     """Online-softmax flash attention: grid = (batch, q_blocks, k_blocks).
 
     The k axis is the innermost (fastest) grid dim, so (m, l, acc) scratch
@@ -65,9 +67,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
     work rivals the 2x128-MAC MXU time), so the elementwise ops are
     trimmed: the softmax runs in base-2 (one multiply folds the scale and
     the ln->log2 conversion; jnp.exp lowers to exp2 plus that multiply
-    anyway) and key-padding masking is skipped entirely when kv_len is
-    block-aligned, else reduced to a scalar-OR-block-local-iota test on
-    the final block only (padding never exceeds one block).
+    anyway) and key-padding masking is compiled out entirely when kv_len
+    is block-aligned — which _pick_block_k arranges on every production
+    shape; the unaligned fallback pays a per-block iota select (a
+    scalar cond skipping full blocks measured ~2x worse still).
 
     The m/l softmax state lives in (block_q, 128) full-lane tiles rather
     than (block_q, 1) columns: sub-lane-width scratch forces strided
@@ -75,7 +78,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
     which measured 589 -> 1033 ms at the 720p play shape (the single
     biggest lever found for this kernel; layout borrowed from JAX's
     reference TPU flash kernel).
+
+    With save_residuals (the grad-traced forward), the final base-2 row
+    max and softmax denominator lane tiles are also written out for the
+    flash backward kernels.
     """
+    if save_residuals:
+        m_out_ref, l_out_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        m_ref, l_ref, acc_ref = rest
     k_idx = pl.program_id(2)
     num_k = pl.num_programs(2)
 
@@ -126,6 +137,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
     @pl.when(k_idx == num_k - 1)
     def _finish():
         o_ref[0] = (acc_ref[:] / d_tile(l_ref[:])).astype(o_ref.dtype)
+        if save_residuals:
+            m_out_ref[0] = m_ref[:]
+            l_out_ref[0] = l_ref[:]
 
 
 def _pick_block_k(kv_len: int) -> int:
@@ -142,21 +156,31 @@ def _pick_block_k(kv_len: int) -> int:
     return 512
 
 
+def _block_policy(lq: int, lk: int) -> tuple[int, int]:
+    """Default (block_q, block_k). 2048/512 measured 78% of bf16 peak at
+    the 720p 1/4-scale play shape (10x58880x294400xd128, v5e) with the
+    lane-tiled m/l layout, and 21.0 ms at the short shape
+    (10x10240x51200xd128); 4096/256 reached 81.8% but larger-bq grids
+    hit flaky remote-compile failures, so the default stays at the
+    robust point. Small coarse-scale queries step down to avoid padding
+    waste. Single source of truth: the grad-traced forward must use the
+    same blocks as the primal or the two would differ in f32
+    accumulation order.
+    """
+    block_k = _pick_block_k(lk)
+    block_q = 2048 if lq >= 8192 else (1024 if lq >= 4096 else 512)
+    return block_q, block_k
+
+
 def _play_attention_pallas(
     q, k, v, scale, block_q: int | None = None, block_k: int | None = None,
     interpret: bool = False,
 ):
-    # 2048/512 measured 78% of bf16 peak at the 720p 1/4-scale play shape
-    # (10x58880x294400xd128, v5e) with the lane-tiled m/l layout, and
-    # 21.0 ms at the short shape (10x10240x51200xd128); 4096/256 reached
-    # 81.8% but larger-bq grids hit flaky remote-compile failures, so the
-    # default stays at the robust point. Small coarse-scale queries step
-    # down to avoid padding waste.
+    default_q, default_k = _block_policy(q.shape[1], k.shape[1])
     if block_k is None:
-        block_k = _pick_block_k(k.shape[1])
+        block_k = default_k
     if block_q is None:
-        block_q = 2048 if q.shape[1] >= 8192 else (
-            1024 if q.shape[1] >= 4096 else 512)
+        block_q = default_q
     from jax.experimental.pallas import tpu as pltpu  # noqa: F401
 
     b, lq, d = q.shape
@@ -190,65 +214,6 @@ def _play_attention_pallas(
         interpret=interpret,
     )(q, k, v)
     return out[:, :lq]
-
-
-def _flash_fwd_res_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_out_ref, l_out_ref,
-    m_ref, l_ref, acc_ref, *, scale, kv_len,
-):
-    """Forward identical to _flash_kernel, additionally writing the
-    (base-2) row max and softmax denominator as (block_q, 128) lane
-    tiles — the residuals the flash backward kernels consume. Only used
-    under jax.grad (training); inference keeps the 2-output kernel.
-    """
-    k_idx = pl.program_id(2)
-    num_k = pl.num_programs(2)
-
-    @pl.when(k_idx == 0)
-    def _init():
-        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * (scale * _LOG2E)
-
-    blk_k = k.shape[0]
-    rem = kv_len % blk_k
-    if rem:
-        col = k_idx * blk_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, _NEG_INF)
-
-    m_prev = m_ref[:]
-    l_prev = l_ref[:]
-    m_cur = jnp.max(s, axis=1)[:, None]
-    m_new = jnp.maximum(m_prev, m_cur)
-
-    reps = s.shape[1] // _LANES
-    p = jnp.exp2(s - (jnp.tile(m_new, (1, reps)) if reps > 1 else m_new))
-    alpha = jnp.exp2(m_prev - m_new)
-    l_new = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
-
-    d = acc_ref.shape[1]
-    d_tile = lambda x: jnp.tile(x, (1, d // _LANES)) if d > _LANES else x
-    acc_ref[:] = acc_ref[:] * d_tile(alpha) + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_ref[:] = m_new
-    l_ref[:] = l_new
-
-    @pl.when(k_idx == num_k - 1)
-    def _finish():
-        o_ref[0] = (acc_ref[:] / d_tile(l_ref[:])).astype(o_ref.dtype)
-        m_out_ref[0] = m_ref[:]
-        l_out_ref[0] = l_ref[:]
 
 
 def _flash_bwd_dq_kernel(
@@ -304,7 +269,9 @@ def _flash_bwd_dkv_kernel(
 ):
     """dk = scale * ds^T Q and dv = pn^T dO, accumulated over q blocks
     (grid: batch, k_blocks, q_blocks with q innermost). Padded q rows
-    carry linv == 0 so pn == 0 and they contribute nothing.
+    have NONZERO pn (their l from the forward is kv_len, not 0); they
+    contribute nothing only because dO and di are zero-padded, making
+    their dv rows and ds rows exactly 0 — keep that padding.
     """
     q_idx = pl.program_id(2)
     num_q = pl.num_programs(2)
@@ -362,7 +329,9 @@ def _flash_fwd_res(q, k, v, scale, block_q, block_k, interpret=False):
 
     grid = (b, lq_p // block_q, lk // block_k)
     out, m2, l = pl.pallas_call(
-        functools.partial(_flash_fwd_res_kernel, scale=scale, kv_len=lk),
+        functools.partial(
+            _flash_kernel, scale=scale, kv_len=lk, save_residuals=True
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
@@ -400,9 +369,12 @@ def _flash_bwd(q, k, v, o, m2, l, g, scale, block_q, block_k, interpret=False):
     lq_p = lq + pad_q
 
     di = jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
-    # lane-tile the per-row residuals; padded q rows get linv=0 -> pn=0
+    # lane-tile the per-row residuals. Correctness of padded q rows rests
+    # on dO and di being ZERO-padded (their pn is nonzero: the forward
+    # gives pad rows l = kv_len): dv rows become pn^T·0 = 0 and
+    # ds = pn*(0-0) = 0, and the garbage dq pad rows are sliced off.
     di = jnp.broadcast_to(di[..., None], (b, lq, _LANES))
-    linv = jnp.where(l > 0.0, 1.0 / l, 0.0)  # (b, lq_p, 128), pad rows l=0
+    linv = jnp.where(l > 0.0, 1.0 / l, 0.0)  # guard, l>0 for real rows
     if pad_q:
         q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
         g = jnp.pad(g, ((0, 0), (0, pad_q), (0, 0)))
@@ -512,16 +484,13 @@ def _play_attention_tpu_bwd(scale, res, g):
 _play_attention_tpu.defvjp(_play_attention_tpu_fwd, _play_attention_tpu_bwd)
 
 
-def _block_policy(lq: int, lk: int) -> tuple[int, int]:
-    block_k = _pick_block_k(lk)
-    block_q = 2048 if lq >= 8192 else (1024 if lq >= 4096 else 512)
-    return block_q, block_k
-
-
-# Flash backward (Pallas dq + dkv kernels) — opt-in until measured
-# against the chunked-XLA-recompute backward on real hardware
-# (artifacts/micro_attn_bwd.py). Requires block_k | kv_len.
-_FLASH_BWD = os.environ.get("PPM_FLASH_BWD", "0") == "1"
+def _flash_bwd_enabled() -> bool:
+    """Flash backward (Pallas dq + dkv kernels) — opt-in until measured
+    against the chunked-XLA-recompute backward on real hardware
+    (artifacts/micro_attn_bwd.py). Read per call so setting the env var
+    after import (tests, notebooks, A/B harnesses) takes effect.
+    """
+    return os.environ.get("PPM_FLASH_BWD", "0") == "1"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -557,6 +526,6 @@ def play_attention(q, k, v, scale: float, force_xla: bool = False):
     d = q.shape[-1]
     if force_xla or not _on_tpu() or d % 128 != 0:
         return _play_attention_xla(q, k, v, scale)
-    if _FLASH_BWD and k.shape[1] % _pick_block_k(k.shape[1]) == 0:
+    if _flash_bwd_enabled() and k.shape[1] % _pick_block_k(k.shape[1]) == 0:
         return _play_attention_tpu_flashbwd(q, k, v, scale)
     return _play_attention_tpu(q, k, v, scale)

@@ -59,6 +59,15 @@ from ppmstereo_tpu.ops.upsample import convex_upsample_2d, convex_upsample_3d
 _PLAY_CHUNK_BUDGET = 1_500_000_000
 
 
+def _chunk_sizes(t: int, max_rows: int) -> list[int]:
+    """Split t rows into the fewest chunks of at most max_rows, with
+    sizes differing by at most 1 (so at most two compiled shapes and no
+    near-empty straggler)."""
+    n = -(-t // max_rows)
+    base, extra = divmod(t, n)
+    return [base + 1] * extra + [base] * (n - extra)
+
+
 @dataclass(frozen=True)
 class PPMStereoConfig:
     """Shipped configuration of the reference
@@ -199,16 +208,16 @@ class PPMUpdateLoop(nn.Module):
             return rows(query_pe, idx, score_norm).astype(cfg.dtype)
 
         # chunk the target-frame axis to bound the gathered bank size;
-        # round to equal-size chunks (20 rows at budget 19 -> 10+10, not
-        # 19+1: the straggler would compile a second grid shape and run a
-        # near-empty kernel)
+        # balanced sizes (20 rows at budget 19 -> 10+10, not 19+1; 7 at
+        # budget 3 -> 3+2+2): a near-empty straggler would compile an
+        # extra grid shape and run a mostly-padded kernel
         rows_per = max(1, _PLAY_CHUNK_BUDGET // max(b * k * h * w * 2 * c, 1))
-        n_chunks = -(-t // rows_per)
-        rows_per = -(-t // n_chunks)
         outs = []
-        for s in range(0, t, rows_per):
-            e = min(s + rows_per, t)
+        s = 0
+        for size in _chunk_sizes(t, rows_per):
+            e = s + size
             outs.append(rows(query_pe[:, s:e], idx[:, s:e], score_norm[:, s:e]))
+            s = e
         return jnp.concatenate(outs, axis=1).astype(cfg.dtype)
 
     def __call__(

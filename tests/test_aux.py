@@ -141,26 +141,35 @@ def test_pallas_flash_bwd_matches_xla_grads():
 
     rng = np.random.default_rng(7)
     scale = 0.11
-    for lq, lk, bq, bk in ((200, 512, 64, 128), (128, 512, 64, 256)):
-        q = jnp.asarray(rng.standard_normal((2, lq, 128)).astype(np.float32))
-        k = jnp.asarray(rng.standard_normal((2, lk, 128)).astype(np.float32))
-        v = jnp.asarray(rng.standard_normal((2, lk, 128)).astype(np.float32))
-        g = jnp.asarray(rng.standard_normal((2, lq, 128)).astype(np.float32))
+    # last case: bf16 inputs — the production dtype, where the kernels'
+    # bf16 casts of pn/ds before the MXU matmuls actually bite
+    for lq, lk, bq, bk, dtype, tol in (
+        (200, 512, 64, 128, jnp.float32, 2e-4),
+        (128, 512, 64, 256, jnp.float32, 2e-4),
+        (200, 512, 64, 128, jnp.bfloat16, 6e-2),
+    ):
+        q = jnp.asarray(rng.standard_normal((2, lq, 128)).astype(np.float32)).astype(dtype)
+        k = jnp.asarray(rng.standard_normal((2, lk, 128)).astype(np.float32)).astype(dtype)
+        v = jnp.asarray(rng.standard_normal((2, lk, 128)).astype(np.float32)).astype(dtype)
+        g = jnp.asarray(rng.standard_normal((2, lq, 128)).astype(np.float32)).astype(dtype)
 
         out, m2, l = _flash_fwd_res(q, k, v, scale, bq, bk, interpret=True)
         ref_out = _play_attention_xla(q, k, v, scale, q_chunk=32)
         np.testing.assert_allclose(
-            np.asarray(out), np.asarray(ref_out), rtol=2e-5, atol=2e-5
+            np.asarray(out, np.float32), np.asarray(ref_out, np.float32),
+            rtol=tol, atol=tol,
         )
 
         dq, dk, dv = _flash_bwd(q, k, v, out, m2, l, g, scale, bq, bk,
                                 interpret=True)
         ref_grads = jax.grad(
-            lambda q, k, v: jnp.sum(_play_attention_xla(q, k, v, scale) * g),
+            lambda q, k, v: jnp.sum(
+                (_play_attention_xla(q, k, v, scale)
+                 * g).astype(jnp.float32)),
             argnums=(0, 1, 2),
         )(q, k, v)
         for got, ref, name in zip((dq, dk, dv), ref_grads, "dq dk dv".split()):
             np.testing.assert_allclose(
-                np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4,
-                err_msg=name,
+                np.asarray(got, np.float32), np.asarray(ref, np.float32),
+                rtol=tol, atol=tol, err_msg=name,
             )

@@ -92,10 +92,25 @@ def test_ppm_vda_variant():
     assert np.isfinite(np.asarray(disp)).all()
 
 
+def test_chunk_sizes_balanced():
+    from ppmstereo_tpu.models.ppm_stereo import _chunk_sizes
+
+    assert _chunk_sizes(20, 19) == [10, 10]
+    assert _chunk_sizes(7, 3) == [3, 2, 2]
+    assert _chunk_sizes(10, 4) == [4, 3, 3]
+    assert _chunk_sizes(5, 5) == [5]
+    assert _chunk_sizes(5, 1) == [1, 1, 1, 1, 1]
+    for t in range(1, 40):
+        for r in range(1, 25):
+            sizes = _chunk_sizes(t, r)
+            assert sum(sizes) == t and max(sizes) <= r
+            assert max(sizes) - min(sizes) <= 1
+
+
 def test_play_chunked_matches_unchunked(monkeypatch):
     """Forcing the target-axis chunking in _play (production: 720p k20)
-    must be numerically identical to the single-batch path, and chunks
-    must be equal-size (no 1-row straggler graph)."""
+    must be numerically identical to the single-batch path; chunk-size
+    balance itself is unit-tested in test_chunk_sizes_balanced."""
     import ppmstereo_tpu.models.ppm_stereo as ppm
 
     left, right = _clip(t=4)
