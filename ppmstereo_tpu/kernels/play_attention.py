@@ -485,12 +485,14 @@ _play_attention_tpu.defvjp(_play_attention_tpu_fwd, _play_attention_tpu_bwd)
 
 
 def _flash_bwd_enabled() -> bool:
-    """Flash backward (Pallas dq + dkv kernels) — opt-in until measured
-    against the chunked-XLA-recompute backward on real hardware
-    (artifacts/micro_attn_bwd.py). Read per call so setting the env var
-    after import (tests, notebooks, A/B harnesses) takes effect.
+    """Flash backward (Pallas dq + dkv kernels) — default ON: measured
+    38.3 ms fwd+bwd vs 145.6 ms for the chunked-XLA-recompute backward at
+    the train play shape (artifacts/micro_attn_bwd.py, v5e 2026-08-18);
+    also beats jax's reference flash pair (45.9 ms). Set PPM_FLASH_BWD=0
+    to fall back. Read per call so setting the env var after import
+    (tests, notebooks, A/B harnesses) takes effect.
     """
-    return os.environ.get("PPM_FLASH_BWD", "0") == "1"
+    return os.environ.get("PPM_FLASH_BWD", "1") == "1"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
