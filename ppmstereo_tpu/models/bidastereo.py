@@ -193,10 +193,13 @@ class BiDAStereo(nn.Module):
             small_patch = itr % 2 == 1
             psize = (3, 3) if small_patch else (1, 9)
 
-            # warp right features by current flow (x only transported)
-            coords_flow = jnp.concatenate(
-                [flow[..., :1], jnp.zeros_like(flow[..., :1])], axis=-1
+            # the reference zeroes the y flow IN PLACE inside TFCL
+            # (corr.py:125) every iteration, so the update block always
+            # sees y=0 and y deltas never accumulate across iterations
+            flow = jnp.concatenate(
+                [flow[..., :1], jnp.zeros_like(flow[..., 1:])], axis=-1
             )
+            coords_flow = flow
             warped = [
                 flow_warp(
                     cr.reshape(b * t, h, w, -1),
@@ -223,11 +226,18 @@ class BiDAStereo(nn.Module):
                 preds.append(up[..., :1])
         return flow, flow_out, net, mhs
 
-    def __call__(self, seq1, seq2):
+    def __call__(self, seq1, seq2, flows=None):
+        """flows: optional precomputed ((B,T-1,H/4,W/4,2) fw, bw) pair
+        replacing the frozen RAFT (the reference's compute_flow,
+        bidastereo.py:145-158) — used by tests and by callers that batch
+        flow computation separately."""
         cfg = self.cfg
         b, t = seq1.shape[0], seq1.shape[1]
 
-        flow_fw4, flow_bw4 = self._compute_flows(seq2)
+        if flows is None:
+            flow_fw4, flow_bw4 = self._compute_flows(seq2)
+        else:
+            flow_fw4, flow_bw4 = flows
 
         seq1n = (2.0 * (seq1 / 255.0) - 1.0).astype(cfg.dtype)
         seq2n = (2.0 * (seq2 / 255.0) - 1.0).astype(cfg.dtype)
@@ -236,12 +246,15 @@ class BiDAStereo(nn.Module):
         fmap1, fmap2 = fmaps[:b].astype(jnp.float32), fmaps[b:].astype(jnp.float32)
         h4, w4 = fmap1.shape[2], fmap1.shape[3]
 
-        def halve_flow(f):
-            h, w = f.shape[2] // 2, f.shape[3] // 2
-            return 0.5 * interp_bilinear(f, (h, w))
+        def scale_flow(f, s):
+            # both the 1/8 and 1/16 flows are resized straight from the
+            # 1/4-res flow (reference bidastereo.py:195-210), NOT by
+            # composing two halvings
+            h, w = f.shape[2] // s, f.shape[3] // s
+            return (1.0 / s) * interp_bilinear(f, (h, w))
 
-        flow_fw8, flow_bw8 = halve_flow(flow_fw4), halve_flow(flow_bw4)
-        flow_fw16, flow_bw16 = halve_flow(flow_fw8), halve_flow(flow_bw8)
+        flow_fw8, flow_bw8 = scale_flow(flow_fw4, 2), scale_flow(flow_bw4, 2)
+        flow_fw16, flow_bw16 = scale_flow(flow_fw4, 4), scale_flow(flow_bw4, 4)
 
         # warp right features fw/bw along RAFT flows (reference :226-241)
         def shift_warp(fm, flows, direction):

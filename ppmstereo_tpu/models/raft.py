@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ppmstereo_tpu.nn.common import Conv
-from ppmstereo_tpu.nn.encoder import ResidualBlock, _make_norm
+from ppmstereo_tpu.nn.encoder import _make_norm
+from ppmstereo_tpu.nn.norm import InstanceNorm
 from ppmstereo_tpu.ops.geometry import interp_bilinear
 from ppmstereo_tpu.ops.upsample import convex_upsample_2d
 
@@ -54,9 +55,43 @@ class FrozenBatchNorm(nn.Module):
         return (x - mean) * inv + bias
 
 
+class RAFTResidualBlock(nn.Module):
+    """princeton-vl RAFT residual block: norms inside the block (batch
+    norm = frozen running stats for the frozen flow provider), and the
+    1x1 downsample path exists ONLY at stride>1 — unlike the reference
+    extractor.py block which always projects."""
+
+    planes: int
+    norm_fn: str = "instance"
+    stride: int = 1
+    dtype: jnp.dtype | None = None
+
+    def _norm(self, name):
+        if self.norm_fn == "batch":
+            return FrozenBatchNorm(name=name)
+        if self.norm_fn == "instance":
+            return InstanceNorm()
+        return lambda y: y
+
+    @nn.compact
+    def __call__(self, x):
+        y = Conv(self.planes, (3, 3), stride=self.stride,
+                 kernel_init="kaiming_out", dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(self._norm("norm1")(y))
+        y = Conv(self.planes, (3, 3), kernel_init="kaiming_out",
+                 dtype=self.dtype, name="conv2")(y)
+        y = nn.relu(self._norm("norm2")(y))
+        if self.stride > 1:
+            x = Conv(self.planes, (1, 1), stride=self.stride, padding=(0, 0),
+                     kernel_init="kaiming_out", dtype=self.dtype, name="downsample")(x)
+            x = self._norm("norm3")(x)
+        return nn.relu(x + y)
+
+
 class RAFTEncoder(nn.Module):
-    """1/8-resolution encoder (RAFT BasicEncoder): 7x7 s2 stem + residual
-    stages (64 s1, 96 s2, 128 s2) + 1x1 output conv."""
+    """1/8-resolution encoder (princeton-vl RAFT BasicEncoder): 7x7 s2
+    stem + residual stages (64 s1, 96 s2, 128 s2) + 1x1 output conv.
+    Module names mirror the torch state dict for checkpoint import."""
 
     output_dim: int = 256
     norm_fn: str = "instance"
@@ -64,17 +99,20 @@ class RAFTEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = Conv(64, (7, 7), stride=2, kernel_init="kaiming_out", dtype=self.dtype)(x)
+        x = Conv(64, (7, 7), stride=2, kernel_init="kaiming_out",
+                 dtype=self.dtype, name="conv1")(x)
         if self.norm_fn == "batch":
-            x = FrozenBatchNorm()(x)
+            x = FrozenBatchNorm(name="norm1")(x)
         else:
             x = _make_norm(self.norm_fn)(x)
         x = nn.relu(x)
-        for planes, stride in ((64, 1), (96, 2), (128, 2)):
-            norm = self.norm_fn if self.norm_fn != "batch" else "none"
-            x = ResidualBlock(planes, norm, stride, dtype=self.dtype)(x)
-            x = ResidualBlock(planes, norm, 1, dtype=self.dtype)(x)
-        return Conv(self.output_dim, (1, 1), padding=(0, 0), kernel_init="kaiming_out", dtype=self.dtype)(x)
+        for li, (planes, stride) in enumerate(((64, 1), (96, 2), (128, 2)), start=1):
+            x = RAFTResidualBlock(planes, self.norm_fn, stride, dtype=self.dtype,
+                                  name=f"layer{li}_0")(x)
+            x = RAFTResidualBlock(planes, self.norm_fn, 1, dtype=self.dtype,
+                                  name=f"layer{li}_1")(x)
+        return Conv(self.output_dim, (1, 1), padding=(0, 0),
+                    kernel_init="kaiming_out", dtype=self.dtype, name="conv2")(x)
 
 
 def build_corr_pyramid_2d(fmap1, fmap2, num_levels=4):
@@ -105,7 +143,10 @@ def corr_lookup_2d(pyramid, coords, radius=4):
     b, h, w, _ = coords.shape
     r = radius
     dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    dgrid = jnp.stack(jnp.meshgrid(dx, dx, indexing="xy"), axis=-1)  # (2r+1,2r+1,2)
+    # princeton RAFT tap ordering: the x offset varies along the OUTER
+    # tap index (meshgrid(dy, dx) stacked last then added to (x, y)) —
+    # "ij" indexing reproduces it so imported convc1 weights line up
+    dgrid = jnp.stack(jnp.meshgrid(dx, dx, indexing="ij"), axis=-1)  # (2r+1,2r+1,2)
     out = []
     for i, corr in enumerate(pyramid):
         centroid = coords.reshape(b * h * w, 1, 1, 2) / (2.0**i)

@@ -85,6 +85,12 @@ class StereoAnyVideo(nn.Module):
         flow_out = None
         for itr in range(iters):
             psize = (3, 3) if itr % 2 == 1 else (1, 9)
+            # the reference zeroes the y flow IN PLACE inside AAPC
+            # (corr.py:190) every iteration, so the update block always
+            # sees y=0 and y deltas never accumulate across iterations
+            flow = jnp.concatenate(
+                [flow[..., :1], jnp.zeros_like(flow[..., 1:])], axis=-1
+            )
             # AAPC uses coords - flow (reference corr.py:192)
             warped = _warp_x(right, -flow[..., 0])
             corrs = aapc_correlation(

@@ -150,7 +150,10 @@ class LocalFeatureTransformer(nn.Module):
                 feat0 = layer(feat0, feat0)
                 feat1 = layer(feat1, feat1)
             elif name == "cross":
-                feat0, feat1 = layer(feat0, feat1), layer(feat1, feat0)
+                # sequential, NOT simultaneous: feat1 attends to the
+                # already-updated feat0 (reference attention.py:231-232)
+                feat0 = layer(feat0, feat1)
+                feat1 = layer(feat1, feat0)
             else:
                 raise KeyError(name)
         return feat0, feat1

@@ -62,13 +62,23 @@ class AttentionQK(nn.Module):
 
 
 class BasicMotionEncoder(nn.Module):
-    """corr+flow -> 128-ch motion features (ppmtereo_update.py:423-442)."""
+    """corr+flow -> 128-ch motion features (ppmtereo_update.py:423-442).
+
+    corr_act: the PPM variant applies GELU after convc1
+    (ppmtereo_update.py:435); DynamicStereo's otherwise-identical encoder
+    applies ReLU (update.py:227)."""
 
     dtype: jnp.dtype | None = None
+    corr_act: str = "gelu"
 
     @nn.compact
     def __call__(self, flow, corr):
-        cor = nn.gelu(Conv(256, (1, 1), padding=(0, 0), dtype=self.dtype)(corr), approximate=False)
+        act = (
+            (lambda y: nn.gelu(y, approximate=False))
+            if self.corr_act == "gelu"
+            else nn.relu
+        )
+        cor = act(Conv(256, (1, 1), padding=(0, 0), dtype=self.dtype)(corr))
         cor = nn.relu(Conv(192, (3, 3), dtype=self.dtype)(cor))
         flo = nn.relu(Conv(128, (7, 7), dtype=self.dtype)(flow))
         flo = nn.relu(Conv(64, (3, 3), dtype=self.dtype)(flo))

@@ -187,7 +187,9 @@ class DSSequenceUpdateBlock3D(nn.Module):
 
     def setup(self):
         d = self.hidden_dim
-        self.encoder = BasicMotionEncoder(dtype=self.dtype)
+        # DS's motion encoder applies ReLU (not the PPM GELU) on convc1
+        # (reference update.py:227)
+        self.encoder = BasicMotionEncoder(dtype=self.dtype, corr_act="relu")
         self.gru = SepConvGRU3D(hidden_dim=d, dtype=self.dtype)
         self.flow_head = FlowHead(256, (3, 3, 3), dtype=self.dtype)
         self.mask_conv1 = Conv(d + 128, (3, 3), dtype=self.dtype)

@@ -26,6 +26,44 @@ _CONFIGS = {
 _trunc02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
 
+def _torch_bicubic_weights(n_in: int, n_out: int, scale: float) -> np.ndarray:
+    """Row-stochastic (n_out, n_in) matrix replicating torch
+    F.interpolate(mode='bicubic', align_corners=False,
+    scale_factor=scale, antialias=False): src = (dst+0.5)/scale - 0.5,
+    cubic convolution kernel A=-0.75, border-clamped taps."""
+    A = -0.75
+
+    def kernel(x):
+        x = np.abs(x)
+        return np.where(
+            x <= 1,
+            ((A + 2) * x - (A + 3)) * x * x + 1,
+            np.where(x < 2, (((x - 5) * x + 8) * x - 4) * A, 0.0),
+        )
+
+    dst = np.arange(n_out, dtype=np.float64)
+    src = (dst + 0.5) / scale - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    frac = src - i0
+    w = np.zeros((n_out, n_in), dtype=np.float64)
+    for tap in (-1, 0, 1, 2):
+        idx = np.clip(i0 + tap, 0, n_in - 1)
+        np.add.at(w, (np.arange(n_out), idx), kernel(frac - tap))
+    return w.astype(np.float32)
+
+
+def interpolate_pos_embed(patch_pe, ph: int, pw: int, grid: int,
+                          offset: float = 0.1):
+    """DINOv2 pos-embed interpolation (reference dinov2.py:179-211):
+    bicubic with the 0.1 scale-factor offset workaround, no antialias.
+    patch_pe: (1, grid, grid, dim) -> (1, ph, pw, dim)."""
+    wy = jnp.asarray(_torch_bicubic_weights(grid, ph, (ph + offset) / grid))
+    wx = jnp.asarray(_torch_bicubic_weights(grid, pw, (pw + offset) / grid))
+    out = jnp.einsum("oi,bijd->bojd", wy, patch_pe.astype(jnp.float32))
+    out = jnp.einsum("oj,bijd->biod", wx, out)
+    return out
+
+
 class Attention(nn.Module):
     dim: int
     num_heads: int
@@ -106,12 +144,12 @@ class DINOv2(nn.Module):
         )
 
         # bicubic pos-embed interpolation to the (ph, pw) grid
+        # (torch-exact semantics incl. the 0.1 offset; the reference skips
+        # interpolation only at the square pretraining grid, dinov2.py:183)
         cls_pe = pos_embed[:, :1]
         patch_pe = pos_embed[:, 1:].reshape(1, self.pos_grid, self.pos_grid, dim)
         if (ph, pw) != (self.pos_grid, self.pos_grid):
-            patch_pe = jax.image.resize(
-                patch_pe, (1, ph, pw, dim), method="bicubic"
-            )
+            patch_pe = interpolate_pos_embed(patch_pe, ph, pw, self.pos_grid)
         patch_pe = patch_pe.reshape(1, ph * pw, dim)
 
         tokens = tokens + patch_pe.astype(tokens.dtype)
@@ -120,13 +158,19 @@ class DINOv2(nn.Module):
         )
         x = jnp.concatenate([cls, tokens], axis=1)
 
+        # the reference applies the FINAL LayerNorm to every requested
+        # intermediate layer (get_intermediate_layers norm=True default,
+        # dinov2.py:297-313)
+        final_norm = nn.LayerNorm(
+            epsilon=1e-6, dtype=x.dtype, param_dtype=jnp.float32, name="norm"
+        )
         outs = []
         want = set(layer_idx)
         for i in range(depth):
             x = Block(dim, heads, dtype=self.dtype, name=f"block_{i}")(x)
             if i in want:
-                outs.append((x[:, 1:], x[:, 0]))
-        # final norm is NOT applied to intermediate layers in the VDA path
+                y = final_norm(x)
+                outs.append((y[:, 1:], y[:, 0]))
         return outs
 
     def __call__(self, x, layer_idx: tuple = (2, 5, 8, 11)):

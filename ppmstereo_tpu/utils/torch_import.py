@@ -52,8 +52,10 @@ def conv3d_w(w: np.ndarray) -> np.ndarray:
 
 
 def deconv2d_w(w: np.ndarray) -> np.ndarray:
-    # torch ConvTranspose2d (I, O, kh, kw) -> flax ConvTranspose (kh, kw, I, O)
-    return np.transpose(w, (2, 3, 0, 1))
+    # torch ConvTranspose2d (I, O, kh, kw) -> flax ConvTranspose (kh, kw, I, O),
+    # spatially flipped: lax.conv_transpose(transpose_kernel=False) applies
+    # the kernel mirrored relative to torch (verified empirically)
+    return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy()
 
 
 def linear_w(w: np.ndarray) -> np.ndarray:

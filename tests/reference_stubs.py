@@ -82,3 +82,35 @@ def install():
     sys.modules.setdefault("timm", timm)
     sys.modules.setdefault("timm.models", timm_models)
     sys.modules.setdefault("timm.models.layers", timm_layers)
+
+    # ---- easydict (used by dpt_temporal.py for motion-module kwargs) ---
+    easydict = types.ModuleType("easydict")
+
+    class EasyDict(dict):
+        def __init__(self, d=None, **kw):
+            super().__init__()
+            d = dict(d or {}, **kw)
+            for k, v in d.items():
+                self[k] = v
+                setattr(self, k, v)
+
+    easydict.EasyDict = EasyDict
+    sys.modules.setdefault("easydict", easydict)
+
+    # ---- torchvision (video_depth.py imports transforms.Compose) ------
+    tv = types.ModuleType("torchvision")
+    tv_tr = types.ModuleType("torchvision.transforms")
+
+    class Compose:
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, x):
+            for fn in self.fns:
+                x = fn(x)
+            return x
+
+    tv_tr.Compose = Compose
+    tv.transforms = tv_tr
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.transforms", tv_tr)
