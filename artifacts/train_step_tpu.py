@@ -38,7 +38,10 @@ def main():
     batch = {
         "left": jnp.asarray(rng.uniform(0, 255, (b, t, h, w, 3)), jnp.float32),
         "right": jnp.asarray(rng.uniform(0, 255, (b, t, h, w, 3)), jnp.float32),
-        "disparity": jnp.asarray(rng.uniform(-60, 0, (b, t, h, w, 1)), jnp.float32),
+        # positive disparities per the reference convention (the model
+        # negates to flow-x internally); values only affect the printed
+        # loss, not step timing
+        "disparity": jnp.asarray(rng.uniform(0, 60, (b, t, h, w, 1)), jnp.float32),
         "valid": jnp.ones((b, t, h, w), jnp.float32),
     }
 

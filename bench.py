@@ -27,6 +27,9 @@ A100_BASELINE_FPS = {
     "short": 8.0,     # 320x512, kernel 10, iters 10
     "full": 1.0,      # 720p, kernel 20, iters 20
     "full_k10": 1.3,  # 720p, kernel 10, iters 20 (reduced-memory fallback)
+    # warm-start mode runs the same protocol as `full`; compared against
+    # the same baseline (the speedup is the point of the mode)
+    "full_warm": 1.0,
 }
 
 
@@ -44,8 +47,17 @@ def main():
         # the reference's own reduced-memory fallback (README "GPU
         # memory note")
         h, w, t_window, iters = 720, 1280, 10, 20
+    elif config == "full_warm":
+        # 720p/k20/i20 first window, then warm-started windows (previous
+        # window's disparity seeds the 1/4 loop; 1/16+1/8+SST skipped)
+        # at iters=10 — the reference's own documented fallback budget.
+        # Non-parity; EPE impact quantified in tests/test_warm_start.py
+        # and BENCH_NOTES.md.
+        h, w, t_window, iters = 720, 1280, 20, 20
     else:
         h, w, t_window, iters = 320, 512, 10, 10
+    warm_start = config == "full_warm"
+    warm_iters = int(os.environ.get("BENCH_WARM_ITERS", "10"))
 
     import jax
     import jax.numpy as jnp
@@ -73,6 +85,13 @@ def main():
     def window_fn(left, right):
         return model.apply(params, left, right)
 
+    warm_fn = None
+    if warm_start:
+        model_warm = PPMStereo(cfg=cfg, iters=warm_iters, test_mode=True)
+
+        def warm_fn(left, right, flow_init):
+            return model_warm.apply(params, left, right, flow_init=flow_init)
+
     # optional knobs (defaults preserve strict reference parity):
     #   BENCH_BATCH_WINDOWS=N  batch N independent windows per device call
     #                          (bit-identical stitching)
@@ -81,7 +100,7 @@ def main():
     fast_mode = os.environ.get("BENCH_FAST", "0") == "1"
     predictor = SlidingWindowPredictor(
         window_fn, kernel_size=t_window, fast_mode=fast_mode,
-        batch_windows=batch_windows,
+        batch_windows=batch_windows, warm_window_fn=warm_fn,
     )
 
     # warmup (compile): run the exact measured workload once so every

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 from dataclasses import dataclass, field
 
 
@@ -24,6 +25,23 @@ class ModelConfig:
     checkpoint: str = ""
     fast_mode: bool = False  # non-overlapping windows (~2x, non-parity)
     batch_windows: int = 1  # windows per device call (parity-safe)
+    # extra model-constructor kwargs as "k=v,k2=v2" (values literal-eval'd),
+    # e.g. MODEL.model_kwargs="use_cnet=False,top_k=2" — the analog of the
+    # reference's open MODEL.* hydra namespace (evaluate.py:30-58)
+    model_kwargs: str = ""
+
+
+def _parse_model_kwargs(spec: str) -> dict:
+    import ast
+
+    out = {}
+    for item in filter(None, (s.strip() for s in spec.split(","))):
+        k, _, v = item.partition("=")
+        try:
+            out[k.strip()] = ast.literal_eval(v.strip())
+        except (ValueError, SyntaxError):
+            out[k.strip()] = v.strip()
+    return out
 
 
 @dataclass
@@ -61,7 +79,44 @@ def build_dataset(cfg: DefaultConfig):
         return D.SyntheticStereoDataset(
             num_seqs=2, sample_len=cfg.sample_len, height=256, width=384
         )
+    if name == "infinigen":
+        return D.InfinigenStereoVideoDataset(
+            root=f"{cfg.dataset_root}/infinigen_stereo", sample_len=cfg.sample_len
+        )
+    if name == "kitti":
+        return D.KITTIDepthDataset(
+            root=f"{cfg.dataset_root}/kitti_depth", split="val",
+            sample_len=cfg.sample_len,
+        )
     raise ValueError(f"unknown dataset {name}")
+
+
+# the reference's hard-coded real ZED capture sequences
+# (evaluation/evaluate.py:96-113)
+REAL_SEQUENCES = ("teddy_static", "ignacio_waving", "nikita_reading")
+
+
+def _run_real_eval(cfg: DefaultConfig, predictor, evaluator):
+    """Mirror of the reference's dataset_name == 'real' branch: iterate
+    DynamicReplica-format real captures (no GT -> fps-only metrics)."""
+    from ppmstereo_tpu.data import datasets as D
+    from ppmstereo_tpu.evaluation.evaluator import pretty_print_results
+
+    all_results = {}
+    for seq_name in REAL_SEQUENCES:
+        root = f"{cfg.dataset_root}/dynamic_replica_data/real/{seq_name}"
+        if not os.path.isdir(root):
+            logging.warning(f"real sequence {root} not found; skipping")
+            continue
+        ds = D.DynamicReplicaDataset(
+            root=root, split="test", sample_len=cfg.sample_len,
+            only_first_n_samples=1,
+        )
+        results = evaluator.evaluate_sequence(predictor, ds)
+        evaluator.dump(results, f"real_{seq_name}")
+        pretty_print_results(results)
+        all_results[seq_name] = results
+    return all_results
 
 
 def run_eval(cfg: DefaultConfig):
@@ -72,13 +127,13 @@ def run_eval(cfg: DefaultConfig):
     )
     from ppmstereo_tpu.models.zoo import model_zoo
 
-    dataset = build_dataset(cfg)
     predictor = model_zoo(
         cfg.MODEL.model_name,
         kernel_size=cfg.MODEL.kernel_size,
         iters=cfg.MODEL.iters,
         fast_mode=cfg.MODEL.fast_mode,
         batch_windows=cfg.MODEL.batch_windows,
+        **_parse_model_kwargs(cfg.MODEL.model_kwargs),
     )
     if cfg.MODEL.checkpoint:
         from ppmstereo_tpu.train.checkpoints import load_params
@@ -86,6 +141,10 @@ def run_eval(cfg: DefaultConfig):
         predictor.load_params(load_params(cfg.MODEL.checkpoint, predictor.params))
 
     evaluator = Evaluator(EvalConfig(exp_dir=cfg.exp_dir, crop=cfg.crop))
+    if cfg.dataset_name == "real":
+        return _run_real_eval(cfg, predictor, evaluator)
+
+    dataset = build_dataset(cfg)
     results = evaluator.evaluate_sequence(predictor, dataset)
     path = evaluator.dump(results, cfg.dataset_name)
     pretty_print_results(results)

@@ -303,6 +303,87 @@ class SequenceSintelStereo(StereoSequenceDataset):
                 self.extra_info.append(seq)
 
 
+class SequenceSintelStereoTrain(StereoSequenceDataset):
+    """Sintel as a TRAINING source (reference SequenceSintelStereo_train,
+    :1337-1404): dense clips of `sample_len` frames sliding by one, each
+    also added time-reversed."""
+
+    def __init__(self, aug_params=None, dstype="final",
+                 root="datasets/sintel_stereo", sample_len=1):
+        super().__init__(aug_params, reader=frame_utils.read_disp_sintel)
+        self.dstype = dstype
+        self.sample_len = sample_len
+        image_root = osp.join(root, "training")
+        for seq_path in sorted(glob(osp.join(image_root, f"{dstype}_left/*"))):
+            seq = osp.basename(seq_path)
+            lefts = sorted(glob(osp.join(seq_path, "*.png")))
+            images = {
+                "left": lefts,
+                "right": [
+                    osp.join(image_root, f"{dstype}_right", seq, osp.basename(p))
+                    for p in lefts
+                ],
+            }
+            disps = [
+                osp.join(image_root, "disparities", seq, osp.basename(p))
+                for p in lefts
+            ]
+            seq_len = len(lefts)
+            for ref in range(0, seq_len - self.sample_len):
+                fwd = defaultdict(lambda: defaultdict(list))
+                rev = defaultdict(lambda: defaultdict(list))
+                for idx in range(ref, ref + self.sample_len):
+                    for cam in ("left", "right"):
+                        fwd["image"][cam].append(images[cam][idx])
+                        rev["image"][cam].append(images[cam][seq_len - idx - 1])
+                    fwd["disparity"]["left"].append(disps[idx])
+                    rev["disparity"]["left"].append(disps[seq_len - idx - 1])
+                self.sample_list.append(fwd)
+                self.sample_list.append(rev)
+
+
+class VKITTI2StereoVideoDataset(StereoSequenceDataset):
+    """Virtual KITTI 2 stereo video. The reference carries the VKITTI2
+    depth decoder (dynamic_stereo_datasets.py:84-112: uint16 cm -> m) and
+    calibration branch but never ships the dataset class; this completes
+    the surface using the published VKITTI2 layout
+    (Scene*/<variation>/frames/{rgb,depth}/Camera_{0,1}) and rig
+    (focal 725.0087 px, baseline 0.532725 m)."""
+
+    VKITTI2_FOCAL = 725.0087
+    VKITTI2_BASELINE = 0.532725
+
+    def __init__(self, aug_params=None, root="datasets/vkitti2",
+                 variation="clone", sample_len=-1):
+        super().__init__(aug_params)
+        self.sample_len = sample_len
+        self.depth_reader = frame_utils.read_vkitti2_depth
+        scale = self.VKITTI2_FOCAL * self.VKITTI2_BASELINE
+        for scene in sorted(glob(osp.join(root, "Scene*"))):
+            base = osp.join(scene, variation, "frames")
+            lefts = sorted(glob(osp.join(base, "rgb", "Camera_0", "rgb_*.jpg")))
+            if not lefts:
+                continue
+            rights = [p.replace("Camera_0", "Camera_1") for p in lefts]
+            depths = [
+                osp.join(
+                    base, "depth", "Camera_0",
+                    osp.basename(p).replace("rgb_", "depth_").replace(".jpg", ".png"),
+                )
+                for p in lefts
+            ]
+            step = self.sample_len if self.sample_len > 0 else len(lefts)
+            for ref in range(0, len(lefts), step):
+                sample = defaultdict(lambda: defaultdict(list))
+                for idx in range(ref, min(ref + step, len(lefts))):
+                    sample["image"]["left"].append(lefts[idx])
+                    sample["image"]["right"].append(rights[idx])
+                    sample["depth"]["left"].append(depths[idx])
+                sample["depth2disp_scale"] = scale
+                self.sample_list.append(sample)
+                self.extra_info.append(f"{osp.basename(scene)}/{variation}")
+
+
 class DynamicReplicaDataset(StereoSequenceDataset):
     """Dynamic Replica: gzip-json frame annotations
     (reference :687-789)."""
@@ -341,6 +422,9 @@ class DynamicReplicaDataset(StereoSequenceDataset):
                         filenames["image"][cam].append(im_path)
                         filenames["depth"][cam].append(depth_path)
                         filenames["viewpoint"][cam].append(framedata["viewpoint"])
+                        filenames["image_size"][cam].append(
+                            framedata["image"].get("size")
+                        )
 
                 seq_len = len(filenames["image"]["left"])
                 print(f"seq {seq}: {seq_len} frames")
@@ -359,9 +443,7 @@ class DynamicReplicaDataset(StereoSequenceDataset):
                                 ):
                                     for k in ("image", "depth"):
                                         sample[k][cam].append(filenames[k][cam][idx])
-                            sample["depth2disp_scale"] = self._d2d_scale(
-                                filenames["viewpoint"]
-                            )
+                            sample["depth2disp_scale"] = self._d2d_scale(filenames)
                             self.sample_list.append(sample)
                 else:
                     step = self.sample_len if self.sample_len > 0 else seq_len
@@ -374,9 +456,7 @@ class DynamicReplicaDataset(StereoSequenceDataset):
                                     break
                                 for k in ("image", "depth"):
                                     sample[k][cam].append(filenames[k][cam][idx])
-                        sample["depth2disp_scale"] = self._d2d_scale(
-                            filenames["viewpoint"]
-                        )
+                        sample["depth2disp_scale"] = self._d2d_scale(filenames)
                         self.sample_list.append(sample)
                         self.extra_info.append(seq)
                         counter += 1
@@ -386,22 +466,36 @@ class DynamicReplicaDataset(StereoSequenceDataset):
                 logging.warning(f"skipping sequence {seq}: {e}")
 
     @staticmethod
-    def _d2d_scale(viewpoints) -> float:
-        """focal_px * baseline from the NDC PerspectiveCameras annotations
-        (reference eval_utils.py:101-113 without pytorch3d: focal in NDC
-        units * half image width = focal in px; baseline = |T_l - T_r|)."""
-        vp_l = viewpoints["left"][0]
-        vp_r = viewpoints["right"][0]
-        focal_ndc = vp_l["focal_length"][0]
-        # principal point / image size bookkeeping: DR stores image size
-        # alongside; focal_px = focal_ndc * (W / 2) in NDC convention
-        size = vp_l.get("image_size", (720, 1280))
-        half_w = min(size) / 2.0 if isinstance(size, (list, tuple)) else 640.0
-        focal_px = focal_ndc * half_w
-        t_l = np.asarray(vp_l["T"])
-        t_r = np.asarray(vp_r["T"])
-        baseline = float(np.linalg.norm(t_l - t_r))
-        return abs(float(focal_px)) * baseline
+    def _d2d_scale(filenames) -> float:
+        """focal_px * baseline, matching the reference's pytorch3d chain
+        exactly (datasets:254-269 -> eval_utils.py:101-113 ->
+        opencv_from_cameras_projection), collapsed to closed form:
+
+          NDC->px:  fx_px = fx_ndc * rescale_x where rescale_x depends on
+                    the annotation's intrinsics_format
+                    ('ndc_norm_image_bounds' -> W/2, 'ndc_isotropic' ->
+                    min(W, H)/2 — dynamic_stereo_datasets.py:166-175);
+          px->pytorch3d-NDC->opencv round-trips exactly at scale=1 with
+                    the same image size, so fx_px survives unchanged;
+          baseline: opencv tvec negates x, so
+                    fix_baseline = t_cv_l_x - t_cv_r_x = T_r[0] - T_l[0].
+        """
+        vp_l = filenames["viewpoint"]["left"][0]
+        vp_r = filenames["viewpoint"]["right"][0]
+        size = (filenames.get("image_size", {}).get("left") or [None])[0]
+        if size is None:
+            size = (720, 1280)  # DR native (H, W)
+        h, w = float(size[0]), float(size[1])
+        fmt = str(vp_l.get("intrinsics_format", "ndc_norm_image_bounds")).lower()
+        if fmt == "ndc_norm_image_bounds":
+            rescale_x = w / 2.0
+        elif fmt == "ndc_isotropic":
+            rescale_x = min(w, h) / 2.0
+        else:
+            raise ValueError(f"unknown intrinsics_format: {fmt}")
+        focal_px = float(vp_l["focal_length"][0]) * rescale_x
+        baseline = float(vp_r["T"][0]) - float(vp_l["T"][0])
+        return focal_px * baseline
 
 
 class InfinigenStereoVideoDataset(StereoSequenceDataset):
@@ -444,12 +538,7 @@ class SouthKensingtonStereoVideoDataset(StereoSequenceDataset):
         self.sample_len = sample_len
         self.split = "test"
         for scene in sorted(glob(osp.join(root, "*"))):
-            lefts = sorted(glob(osp.join(scene, "left/*.png"))) or sorted(
-                glob(osp.join(scene, "image_left/*.png"))
-            )
-            rights = sorted(glob(osp.join(scene, "right/*.png"))) or sorted(
-                glob(osp.join(scene, "image_right/*.png"))
-            )
+            lefts, rights = self._scene_images(scene)
             if not lefts or len(lefts) != len(rights):
                 continue
             step = self.sample_len if self.sample_len > 0 else len(lefts)
@@ -460,6 +549,50 @@ class SouthKensingtonStereoVideoDataset(StereoSequenceDataset):
                     sample["image"]["right"].append(rights[idx])
                 self.sample_list.append(sample)
                 self.extra_info.append(osp.basename(scene))
+
+    @staticmethod
+    def _scene_images(scene):
+        """Reference layout `<scene>/images/{left,right}` (:899) plus the
+        flat fallbacks."""
+        for pat_l, pat_r in (
+            ("images/left/*.png", "images/right/*.png"),
+            ("left/*.png", "right/*.png"),
+            ("image_left/*.png", "image_right/*.png"),
+        ):
+            lefts = sorted(glob(osp.join(scene, pat_l)))
+            rights = sorted(glob(osp.join(scene, pat_r)))
+            if lefts:
+                return lefts, rights
+        return [], []
+
+
+class SouthKensingtonStereoVideoSubDataset(StereoSequenceDataset):
+    """One named SouthKensington capture (reference :944-1000): the
+    `<root>/<dtype>/<subname>` sub-tree instead of every scene."""
+
+    def __init__(self, aug_params=None, root="datasets/southkensington",
+                 dtype="indoor", subname="video010", sample_len=-1,
+                 only_first_n_samples=-1):
+        super().__init__(aug_params)
+        self.sample_len = sample_len
+        self.split = "test"
+        scene = osp.join(root, dtype, subname)
+        lefts, rights = SouthKensingtonStereoVideoDataset._scene_images(scene)
+        if not lefts or len(lefts) != len(rights):
+            raise FileNotFoundError(f"no stereo frames under {scene}")
+        seq_len = len(lefts)
+        step = sample_len if 0 < sample_len < seq_len else seq_len
+        counter = 0
+        for ref in range(0, seq_len, step):
+            sample = defaultdict(lambda: defaultdict(list))
+            for idx in range(ref, min(ref + step, seq_len)):
+                sample["image"]["left"].append(lefts[idx])
+                sample["image"]["right"].append(rights[idx])
+            self.sample_list.append(sample)
+            self.extra_info.append(subname)
+            counter += 1
+            if only_first_n_samples > 0 and counter >= only_first_n_samples:
+                break
 
 
 class KITTIDepthDataset(StereoSequenceDataset):

@@ -27,21 +27,13 @@ def allreduce_weighted_metrics(
     keys = sorted(local_sums)
     vec = jnp.asarray([local_sums[k] for k in keys] + [local_weight], jnp.float32)
 
-    # replicate the local vector onto the mesh and psum over all axes:
-    # under multi-process each host contributes its own addressable shard
-    n = int(np.prod(list(mesh.shape.values())))
-
-    @jax.jit
-    def reduce_fn(v):
-        return v  # single-process: identity; multi-process uses process_allgather
-
+    # each process contributes its own accumulator vector; the host-level
+    # all-gather + sum is the whole reduction (devices hold replicas)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
         gathered = multihost_utils.process_allgather(vec)
         vec = jnp.sum(gathered, axis=0)
-    else:
-        vec = reduce_fn(vec)
 
     total_w = float(vec[-1])
     out = {k: float(vec[i]) / max(total_w, 1e-9) for i, k in enumerate(keys)}

@@ -60,6 +60,7 @@ class SlidingWindowPredictor:
         align_windows: bool = False,
         fast_mode: bool = False,
         batch_windows: int = 1,
+        warm_window_fn: Callable | None = None,
     ):
         """fast_mode=True runs non-overlapping windows (stride ==
         kernel_size, no edge trimming) — ~2x throughput over the
@@ -71,8 +72,17 @@ class SlidingWindowPredictor:
         batch_windows=N executes up to N independent windows per device
         call as a batch axis — bit-identical stitching (windows never
         interact; same trim arithmetic), better MXU utilization on small
-        per-window shapes, at N x activation memory."""
+        per-window shapes, at N x activation memory.
+
+        warm_window_fn(left, right, flow_init) enables warm-start
+        windowing: every window after the first is seeded with the
+        previous window's signed disparity (overlapping frames verbatim,
+        new frames from the last overlapping frame) and runs only the
+        final refinement stage — typically at a reduced iteration budget.
+        Non-parity; windows then execute sequentially (each depends on
+        its predecessor)."""
         self.window_fn = window_fn
+        self.warm_window_fn = warm_window_fn
         self.kernel_size = kernel_size
         self.divis_by = divis_by
         self.align_windows = align_windows
@@ -94,6 +104,22 @@ class SlidingWindowPredictor:
 
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key](left, right)
+
+    def _run_window_warm(self, left, right, flow_init):
+        """Warm window: flow_init (T, H, W, 1) signed x-flow at full res."""
+        t, h, w, _ = left.shape
+        key = ("warm", t, h, w)
+        if key not in self._jitted:
+            padder = InputPadder(h, w, divis_by=self.divis_by)
+
+            def fn(l, r, fi):
+                lp, rp = padder.pad(l, r)
+                (fip,) = padder.pad(fi)
+                disp, unc = self.warm_window_fn(lp[None], rp[None], fip[None])
+                return padder.unpad(disp[0]), padder.unpad(unc[0])
+
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key](left, right, flow_init)
 
     def _run_window_batch(self, lefts: jax.Array, rights: jax.Array):
         """lefts/rights: (B, T, H, W, 3). Returns (disp, unc): (B, T, H, W, 1)."""
@@ -139,6 +165,27 @@ class SlidingWindowPredictor:
 
         disp_parts, unc_parts = [], []
         pending = []  # (start, wlen, disp, unc) device results, fetched lazily
+
+        if self.warm_window_fn is not None:
+            # warm-start mode: sequential, each window seeded by the last
+            prev_start, prev_disp = None, None
+            for i, wlen, lw, rw in jobs:
+                if prev_disp is None:
+                    disp, unc = self._run_window(jnp.asarray(lw), jnp.asarray(rw))
+                else:
+                    ov = max(0, min(prev_start + len(prev_disp) - i, wlen))
+                    init = np.empty((wlen, *prev_disp.shape[1:]), np.float32)
+                    if ov > 0:
+                        init[:ov] = prev_disp[len(prev_disp) - ov :]
+                    init[ov:] = prev_disp[-1] if ov == 0 else init[ov - 1]
+                    disp, unc = self._run_window_warm(
+                        jnp.asarray(lw), jnp.asarray(rw), jnp.asarray(init)
+                    )
+                disp = np.asarray(disp)
+                prev_start, prev_disp = i, disp
+                pending.append((i, wlen, disp, np.asarray(unc)))
+            jobs = []
+
         idx = 0
         while idx < len(jobs):
             group = [jobs[idx]]

@@ -447,8 +447,17 @@ class PPMStereo(nn.Module):
         return pyramid, coords0, query_pe, key_aug, sim_score
 
     # --------------------------------------------------------------- forward
-    def __call__(self, image1, image2):
+    def __call__(self, image1, image2, flow_init=None):
         """image1/image2: (B, T, H, W, 3) in [0, 255].
+
+        flow_init: optional (B, T, H, W, 1) full-resolution SIGNED x-flow
+        (negative disparity) warm start. When given, the 1/16 and 1/8
+        stages AND the SST block are skipped and only the 1/4 loop runs —
+        the coherent version of the reference's flow_init contract (its
+        own branch dead-ends on undefined state, ppmstereo.py:690-766;
+        DynamicStereo's working branch has the same skip-to-1/4 shape,
+        dynamic_stereo.py:406-408). Used by warm-start sliding-window
+        inference; zero-init remains the strict-parity default.
 
         test_mode=True  -> (disparity (B,T,H,W,1), uncertainty (B,T,H,W,1))
         test_mode=False -> (predictions (n_total_iters, B, T, H, W, 1),
@@ -482,6 +491,27 @@ class PPMStereo(nn.Module):
 
         t = fmap1.shape[1]
         h4, w4 = fmap1.shape[2], fmap1.shape[3]
+
+        if flow_init is not None:
+            # warm start: resize the full-res x-flow to the 1/4 grid and
+            # run only the final stage with the full iteration budget
+            fi = jnp.concatenate(
+                [flow_init.astype(jnp.float32), jnp.zeros_like(flow_init)], axis=-1
+            )
+            flow4 = (h4 / fi.shape[2]) * _resize_video(fi, (h4, w4))
+            # only the 1/16 block owns init_conv weights (the later stages
+            # inherit the hidden state in the cold cascade) — bootstrap
+            # from it at the 1/4 grid
+            mh4 = self.loop16.init_motion_hidden_state(inp)
+            stage_in = self._stage_inputs(2, fmap1, fmap2, inp)
+            _, flow_out4, net, mh4, p, u, unc_last = self.loop04(
+                *stage_in, flow4, net, inp, mh4
+            )
+            if self.test_mode:
+                disparity = flow_out4[..., :1]
+                uncertainty = _interp_ac_false(unc_last.astype(jnp.float32), 4)
+                return disparity, uncertainty
+            return p, u
 
         if cfg.use_vfm:
             f1_16, f2_16 = vfm16["f16"]

@@ -31,6 +31,9 @@ class StereoAnyVideoConfig:
     hidden_dim: int = 128
     mixed_precision: bool = False
     encoder: str = "vits"
+    # rematerialize each scanned refinement pair on the backward pass
+    # (same compile/memory discipline as the PPM loop)
+    remat: bool = True
 
     @property
     def dtype(self):
@@ -78,39 +81,101 @@ class StereoAnyVideo(nn.Module):
     def corr_mlp(self, x):
         return self.corr_mlp_fc2(nn.gelu(self.corr_mlp_fc1(x), approximate=False))
 
+    def _one_iter(self, left, right, flow, net, inp, psize, compute_mask):
+        """One AAPC + update-block refinement iteration.
+
+        The reference zeroes the y flow IN PLACE inside AAPC (corr.py:190)
+        every iteration, so the update block always sees y=0 and y deltas
+        never accumulate across iterations."""
+        cfg = self.cfg
+        b, t, h, w, _ = flow.shape
+        flow = jnp.concatenate(
+            [flow[..., :1], jnp.zeros_like(flow[..., 1:])], axis=-1
+        )
+        # AAPC uses coords - flow (reference corr.py:192)
+        warped = _warp_x(right, -flow[..., 0])
+        corrs = aapc_correlation(
+            left.reshape(b * t, h, w, -1),
+            warped.reshape(b * t, h, w, -1),
+            psize,
+        ).reshape(b, t, h, w, -1)
+        corrs = self.corr_mlp(corrs.astype(cfg.dtype))
+        net, mask, delta = self.update_block(
+            net, inp, corrs, flow.astype(cfg.dtype), compute_mask=compute_mask
+        )
+        flow = flow + delta.astype(jnp.float32)
+        return flow, net, mask
+
     def _stage(self, left, right, flow, net, inp, iters, interp_scale, preds):
+        """One cascade scale. The psize alternation has period 2
+        (reference stereoanyvideo.py:271-329), so the loop is a lifted
+        nn.scan over 2-iteration chunks (+ one unrolled tail when iters is
+        odd) with per-chunk remat — the same compile-size/HBM discipline
+        as the scanned PPM loop, vs the reference's Python unroll."""
         cfg = self.cfg
         b, t, h, w, _ = flow.shape
         collect = not self.test_mode
-        flow_out = None
-        for itr in range(iters):
-            psize = (3, 3) if itr % 2 == 1 else (1, 9)
-            # the reference zeroes the y flow IN PLACE inside AAPC
-            # (corr.py:190) every iteration, so the update block always
-            # sees y=0 and y deltas never accumulate across iterations
-            flow = jnp.concatenate(
-                [flow[..., :1], jnp.zeros_like(flow[..., 1:])], axis=-1
-            )
-            # AAPC uses coords - flow (reference corr.py:192)
-            warped = _warp_x(right, -flow[..., 0])
-            corrs = aapc_correlation(
-                left.reshape(b * t, h, w, -1),
-                warped.reshape(b * t, h, w, -1),
-                psize,
-            ).reshape(b, t, h, w, -1)
-            corrs = self.corr_mlp(corrs.astype(cfg.dtype))
 
-            net, mask, delta = self.update_block(
-                net, inp, corrs, flow.astype(cfg.dtype)
-            )
-            flow = flow + delta.astype(jnp.float32)
-            flow_out = convex_upsample_3d(flow, mask, rate=4)
+        def collect_up(flow_out):
+            up = flow_out
+            if interp_scale > 1:
+                oh, ow = interp_scale * up.shape[2], interp_scale * up.shape[3]
+                up = interp_scale * interp_bilinear(up, (oh, ow))
+            return up[..., :1]
+
+        pairs, tail = divmod(iters, 2)
+        mask_last = None
+        if pairs:
             if collect:
-                up = flow_out
-                if interp_scale > 1:
-                    oh, ow = interp_scale * up.shape[2], interp_scale * up.shape[3]
-                    up = interp_scale * interp_bilinear(up, (oh, ow))
-                preds.append(up[..., :1])
+                def step(module, carry, _):
+                    flow, net, _ = carry
+                    flow, net, m1 = module._one_iter(
+                        left, right, flow, net, inp, (1, 9), True
+                    )
+                    y1 = collect_up(convex_upsample_3d(flow, m1, rate=4))
+                    flow, net, m2 = module._one_iter(
+                        left, right, flow, net, inp, (3, 3), True
+                    )
+                    y2 = collect_up(convex_upsample_3d(flow, m2, rate=4))
+                    return (flow, net, m2), jnp.stack([y1, y2])
+
+                body = nn.remat(step, prevent_cse=False) if cfg.remat else step
+                scan = nn.scan(
+                    body, variable_broadcast="params",
+                    split_rngs={"params": False}, length=pairs,
+                )
+                mask0 = jnp.zeros((b, t, h, w, 27 * 16), cfg.dtype)
+                (flow, net, mask_last), ys = scan(self, (flow, net, mask0), None)
+                # (pairs, 2, b, t, H, W, 1) -> per-iteration order
+                preds.append(ys.reshape(2 * pairs, *ys.shape[2:]))
+            else:
+                def step(module, carry, _):
+                    flow, net = carry
+                    flow, net, _ = module._one_iter(
+                        left, right, flow, net, inp, (1, 9), False
+                    )
+                    flow, net, _ = module._one_iter(
+                        left, right, flow, net, inp, (3, 3), False
+                    )
+                    return (flow, net), None
+
+                scan = nn.scan(
+                    step, variable_broadcast="params",
+                    split_rngs={"params": False}, length=pairs,
+                )
+                (flow, net), _ = scan(self, (flow, net), None)
+        if tail:
+            # odd iteration count: one more (1, 9) iteration (index parity
+            # restarts even after the pairs)
+            flow, net, mask_last = self._one_iter(
+                left, right, flow, net, inp, (1, 9), True
+            )
+            if collect:
+                up = collect_up(convex_upsample_3d(flow, mask_last, rate=4))
+                preds.append(up[None])
+        if mask_last is None:  # test mode, even iters: mask from final net
+            mask_last = self.update_block.get_mask(net)
+        flow_out = convex_upsample_3d(flow, mask_last, rate=4)
         return flow, flow_out, net
 
     def __call__(self, image1, image2):
@@ -160,4 +225,4 @@ class StereoAnyVideo(nn.Module):
 
         if self.test_mode:
             return flow_out4[..., :1]
-        return jnp.stack(preds, axis=0)
+        return jnp.concatenate(preds, axis=0)

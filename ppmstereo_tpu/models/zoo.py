@@ -69,7 +69,7 @@ class StereoVideoPredictor:
 
     def __init__(
         self,
-        model_ctor: Callable[[bool], Any],
+        model_ctor: Callable[..., Any],
         kernel_size: int = 20,
         iters: int = 20,
         params=None,
@@ -77,6 +77,8 @@ class StereoVideoPredictor:
         init_hw: tuple[int, int] = (64, 128),
         fast_mode: bool = False,
         batch_windows: int = 1,
+        warm_start: bool = False,
+        warm_iters: int | None = None,
     ):
         self.kernel_size = kernel_size
         self.iters = iters
@@ -94,9 +96,23 @@ class StereoVideoPredictor:
                 return out  # (disparity, uncertainty)
             return out, jnp.zeros_like(out)
 
+        warm_fn = None
+        if warm_start:
+            # same params, reduced iteration budget, flow_init entry —
+            # the model_ctor must accept an iters override (PPM does)
+            self.model_warm = model_ctor(warm_iters or iters)
+
+            def warm_fn(left, right, flow_init):
+                out = self.model_warm.apply(
+                    self.params, left, right, flow_init=flow_init
+                )
+                if isinstance(out, tuple):
+                    return out
+                return out, jnp.zeros_like(out)
+
         self.predictor = SlidingWindowPredictor(
             window_fn, kernel_size=kernel_size, fast_mode=fast_mode,
-            batch_windows=batch_windows,
+            batch_windows=batch_windows, warm_window_fn=warm_fn,
         )
 
     def load_params(self, params):
@@ -111,14 +127,17 @@ class StereoVideoPredictor:
 
 
 @register("PPMStereoModel")
-def _build_ppm(kernel_size: int = 20, iters: int = 20, params=None, **cfg_kwargs):
+def _build_ppm(kernel_size: int = 20, iters: int = 20, params=None,
+               warm_start: bool = False, warm_iters: int | None = None,
+               **cfg_kwargs):
     from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig
 
     cfg = PPMStereoConfig(**cfg_kwargs)
     return StereoVideoPredictor(
-        lambda: PPMStereo(cfg=cfg, iters=iters, test_mode=True),
+        lambda it=None: PPMStereo(cfg=cfg, iters=(it or iters), test_mode=True),
         kernel_size=kernel_size, iters=iters, params=params,
         outputs_uncertainty=True,
+        warm_start=warm_start, warm_iters=warm_iters,
     )
 
 

@@ -155,7 +155,12 @@ class SAVSequenceUpdateBlock3D(nn.Module):
         self.time_attn = TimeAttnBlock(dim=256, num_heads=8, dtype=self.dtype)
         self.space_attn = SpaceAttnBlock(dim=256, num_heads=8, dtype=self.dtype)
 
-    def __call__(self, net, inp, corrs, flow):
+    def get_mask(self, net):
+        """Convex-upsample mask head; split out so inference can run it
+        once after the scanned loop (only the final mask is consumed)."""
+        return 0.25 * self.mask_conv2(nn.relu(self.mask_conv1(net)))
+
+    def __call__(self, net, inp, corrs, flow, compute_mask: bool = True):
         cor = nn.relu(self.convc1(corrs))
         cor = nn.relu(self.convc2(cor))
         flo = nn.relu(self.convf1(flow))
@@ -169,7 +174,7 @@ class SAVSequenceUpdateBlock3D(nn.Module):
 
         net = self.gru(net, x)
         delta_flow = self.flow_head(net)
-        mask = 0.25 * self.mask_conv2(nn.relu(self.mask_conv1(net)))
+        mask = self.get_mask(net) if compute_mask else None
         return net, mask, delta_flow
 
 

@@ -52,8 +52,20 @@ def _disable_shardy_partitioner():
     """
     try:
         jax.config.update("jax_use_shardy_partitioner", False)
-    except Exception:  # flag removed in a future JAX: assume fixed
-        pass
+    except Exception:
+        # LOUD canary: if the flag is gone, the workaround no longer
+        # applies and the partitioner that miscompiled the scanned loop
+        # may be back on. tests/test_sharding.py asserts exact seq+space
+        # parity and will catch a regression — do not silence this.
+        import warnings
+
+        warnings.warn(
+            "jax_use_shardy_partitioner flag no longer exists: the Shardy "
+            "miscompile workaround (parallel/mesh.py) is inert. Run "
+            "tests/test_sharding.py before trusting multi-axis meshes.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def make_mesh(spec: MeshSpec | None = None, devices=None) -> Mesh:

@@ -49,6 +49,9 @@ class TrainConfig:
     num_workers: int = 4
     seed: int = 0
     log_freq: int = 100  # running-mean flush interval (reference SUM_FREQ)
+    # extra model-config kwargs (e.g. {"use_cnet": False}) — the analog
+    # of the reference's architecture-switch flags (train.py:357-485)
+    model_kwargs: dict | None = None
     # mesh
     data_parallel: int = 0  # 0 = all devices
     seq_parallel: int = 1
@@ -62,7 +65,8 @@ def build_train_model(cfg: TrainConfig):
         from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig
 
         mcfg = PPMStereoConfig(
-            num_frames=cfg.sample_len, mixed_precision=cfg.mixed_precision
+            num_frames=cfg.sample_len, mixed_precision=cfg.mixed_precision,
+            **(cfg.model_kwargs or {}),
         )
         return PPMStereo(cfg=mcfg, iters=cfg.train_iters, test_mode=False), True
     if name == "ppmstereo_vda":
@@ -70,7 +74,7 @@ def build_train_model(cfg: TrainConfig):
 
         mcfg = PPMStereoConfig(
             num_frames=cfg.sample_len, mixed_precision=cfg.mixed_precision,
-            use_vfm=True,
+            use_vfm=True, **(cfg.model_kwargs or {}),
         )
         return PPMStereo(cfg=mcfg, iters=cfg.train_iters, test_mode=False), True
     if name == "dynamicstereo":
@@ -80,13 +84,16 @@ def build_train_model(cfg: TrainConfig):
         )
 
         mcfg = DynamicStereoConfig(
-            num_frames=cfg.sample_len, mixed_precision=cfg.mixed_precision
+            num_frames=cfg.sample_len, mixed_precision=cfg.mixed_precision,
+            **(cfg.model_kwargs or {}),
         )
         return DynamicStereo(cfg=mcfg, iters=cfg.train_iters, test_mode=False), False
     if name == "bidastereo":
         from ppmstereo_tpu.models.bidastereo import BiDAStereo, BiDAStereoConfig
 
-        mcfg = BiDAStereoConfig(mixed_precision=cfg.mixed_precision)
+        mcfg = BiDAStereoConfig(
+            mixed_precision=cfg.mixed_precision, **(cfg.model_kwargs or {})
+        )
         return BiDAStereo(cfg=mcfg, iters=cfg.train_iters, test_mode=False), False
     if name == "stereoanyvideo":
         from ppmstereo_tpu.models.stereoanyvideo import (
@@ -94,7 +101,9 @@ def build_train_model(cfg: TrainConfig):
             StereoAnyVideoConfig,
         )
 
-        mcfg = StereoAnyVideoConfig(mixed_precision=cfg.mixed_precision)
+        mcfg = StereoAnyVideoConfig(
+            mixed_precision=cfg.mixed_precision, **(cfg.model_kwargs or {})
+        )
         return StereoAnyVideo(cfg=mcfg, iters=cfg.train_iters, test_mode=False), False
     raise ValueError(f"unknown model {name}")
 
@@ -133,7 +142,7 @@ def build_eval_predictor(cfg: TrainConfig, params, eval_iters: int = 10,
     from ppmstereo_tpu.models.zoo import _REGISTRY
 
     build = _REGISTRY[name_map[cfg.model_name]]
-    kwargs = dict(mixed_precision=cfg.mixed_precision)
+    kwargs = dict(mixed_precision=cfg.mixed_precision, **(cfg.model_kwargs or {}))
     if cfg.model_name in ("ppmstereo", "memstereo", "ppmstereo_vda", "dynamicstereo"):
         # the learned time embedding is sized by the training clip length
         kwargs["num_frames"] = cfg.sample_len

@@ -212,7 +212,45 @@ def stereoanyvideo_mapping(include_vda: bool = True) -> dict[str, str]:
     if include_vda:
         from ppmstereo_tpu.utils.vda_mapping import vda_mapping
 
-        m.update(vda_mapping("depthnet.depthanything", "depthnet/vda"))
+        m.update(vda_mapping("depthnet.depthanything", "depthnet/depthanything"))
+    return m
+
+
+def multilevel_vfm_mapping(t: str, f: str) -> dict[str, str]:
+    """MultiLevelEncoder_VFM (reference extractor.py:501-620) ->
+    nn/encoder.py::MultiLevelEncoderVFM. Instance norms carry no params;
+    the reference residual block always has a downsample projection."""
+    m = {}
+    m.update(_conv(f"{t}.conv1", f"{f}/Conv_0/Conv_0"))
+    idx = 0
+    for li in range(1, 6):
+        for bj in range(2):
+            tb, fb = f"{t}.layer{li}.{bj}", f"{f}/ResidualBlock_{idx}"
+            idx += 1
+            m.update(_conv(f"{tb}.conv1", f"{fb}/Conv_0/Conv_0"))
+            m.update(_conv(f"{tb}.conv2", f"{fb}/Conv_1/Conv_0"))
+            m.update(_conv(f"{tb}.downsample.0", f"{fb}/Conv_2/Conv_0"))
+    for s in ("16", "8", "4"):
+        m.update(_conv(f"{t}.upconv_{s}.1", f"{f}/upconv_{s}/Conv_0/Conv_0"))
+        m.update(_conv(f"{t}.decode_{s}x.0", f"{f}/decode_{s}x/Conv_0/Conv_0"))
+        m.update(_conv(f"{t}.decode_{s}x.3", f"{f}/decode_{s}x/Conv_1/Conv_0"))
+    return m
+
+
+def ppmstereo_vda_mapping(attention_type: str | None = None) -> dict[str, str]:
+    """PPMStereo_VDA (reference ppmstereo_VDA.py:44-118): the base PPM
+    mapping with the BasicEncoder fnet replaced by MultiLevelEncoder_VFM
+    + the frozen VideoDepthAnything backbone."""
+    from ppmstereo_tpu.utils.ppm_mapping import ppmstereo_mapping
+    from ppmstereo_tpu.utils.vda_mapping import vda_mapping
+
+    m = {
+        k: v for k, v in ppmstereo_mapping(
+            attention_type=attention_type, use_cnet=True
+        ).items() if not k.startswith("fnet.")
+    }
+    m.update(multilevel_vfm_mapping("fnet", "fnet"))
+    m.update(vda_mapping("backbone", "backbone"))
     return m
 
 

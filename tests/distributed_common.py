@@ -1,0 +1,55 @@
+"""Shared tiny-model builders for the 2-process distributed test: the
+worker processes and the single-process golden run must construct the
+IDENTICAL computation (same seeds, same config, same data)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+GLOBAL_BATCH = 8
+T, H, W = 2, 32, 64
+
+
+def _tiny_cfg():
+    from ppmstereo_tpu.models.ppm_stereo import PPMStereoConfig
+
+    return PPMStereoConfig(
+        mixed_precision=False, use_cnet=False, attention_type=None,
+        num_frames=T, top_k=T, force_xla_attention=True,
+    )
+
+
+def build_train_setup():
+    """(model, replicated-init state, global numpy batch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ppmstereo_tpu.models.ppm_stereo import PPMStereo
+    from ppmstereo_tpu.train.state import create_train_state
+
+    model = PPMStereo(cfg=_tiny_cfg(), iters=1, test_mode=False)
+    zeros = jnp.zeros((1, T, H, W, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), zeros, zeros)
+    state = create_train_state(model, params, num_steps=100)
+
+    rng = np.random.default_rng(7)
+    batch = {
+        "left": rng.uniform(0, 255, (GLOBAL_BATCH, T, H, W, 3)).astype(np.float32),
+        "right": rng.uniform(0, 255, (GLOBAL_BATCH, T, H, W, 3)).astype(np.float32),
+        "disparity": rng.uniform(0, 8, (GLOBAL_BATCH, T, H, W, 1)).astype(np.float32),
+        "valid": np.ones((GLOBAL_BATCH, T, H, W), np.float32),
+    }
+    return model, state, batch
+
+
+def build_eval_predictor_and_dataset():
+    from ppmstereo_tpu.data.datasets import SyntheticStereoDataset
+    from ppmstereo_tpu.models.zoo import model_zoo
+
+    predictor = model_zoo(
+        "PPMStereoModel", kernel_size=T, iters=1,
+        mixed_precision=False, use_cnet=False, attention_type=None,
+        num_frames=T, top_k=T, force_xla_attention=True,
+    )
+    dataset = SyntheticStereoDataset(num_seqs=4, sample_len=T, height=H, width=W)
+    return predictor, dataset

@@ -83,6 +83,15 @@ def install():
     sys.modules.setdefault("timm.models", timm_models)
     sys.modules.setdefault("timm.models.layers", timm_layers)
 
+    # ---- pytorch3d (eval_utils imports opencv_from_cameras_projection,
+    # unused by the metric functions themselves) -----------------------
+    p3d = types.ModuleType("pytorch3d")
+    p3d_utils = types.ModuleType("pytorch3d.utils")
+    p3d_utils.opencv_from_cameras_projection = None
+    p3d.utils = p3d_utils
+    sys.modules.setdefault("pytorch3d", p3d)
+    sys.modules.setdefault("pytorch3d.utils", p3d_utils)
+
     # ---- easydict (used by dpt_temporal.py for motion-module kwargs) ---
     easydict = types.ModuleType("easydict")
 

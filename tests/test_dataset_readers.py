@@ -56,13 +56,16 @@ class TestDynamicReplica:
                 annots.append({
                     "sequence_name": "seqA",
                     "camera_name": cam,
-                    "image": {"path": img_rel},
+                    # true DR/CO3D layout: size lives on image, the
+                    # intrinsics format on viewpoint
+                    "image": {"path": img_rel, "size": (H, W)},
                     "depth": {"path": depth_rel},
                     "viewpoint": {
                         "focal_length": [2.0, 2.0],
+                        "principal_point": [0.0, 0.0],
+                        "intrinsics_format": "ndc_norm_image_bounds",
                         "T": ([0.0, 0.0, 0.0] if cam == "left"
                               else [0.5, 0.0, 0.0]),
-                        "image_size": (H, W),
                     },
                 })
         with gzip.open(root / split / f"frame_annotations_{split}.jgz",
@@ -77,10 +80,62 @@ class TestDynamicReplica:
         item = ds[0]
         assert item["img"].shape == (2, 2, H, W, 3)
         assert item["disp"].shape == (2, 1, H, W, 1)
-        # disp = focal_px * baseline / depth; focal_px = 2.0 * (min(H,W)/2),
-        # baseline 0.5, depth 8 -> |disp| = 2*12*0.5/8 = 1.5
-        np.testing.assert_allclose(-item["disp"], 1.5, rtol=1e-3)
+        # disp = focal_px * baseline / depth; ndc_norm_image_bounds ->
+        # focal_px = 2.0 * (W/2) = 32, baseline 0.5, depth 8 -> |disp| = 2.0
+        np.testing.assert_allclose(-item["disp"], 2.0, rtol=1e-3)
         assert item["valid"].min() == 1.0
+
+    @pytest.mark.parametrize("fmt", ["ndc_norm_image_bounds", "ndc_isotropic"])
+    def test_d2d_scale_matches_pytorch3d_chain(self, fmt):
+        """_d2d_scale vs an independent numpy replication of the
+        reference's full chain (dynamic_stereo_datasets.py:151-197 NDC->
+        pytorch3d camera -> eval_utils.py:101-113 via pytorch3d's
+        opencv_from_cameras_projection semantics), both NDC conventions."""
+        h, w = 720, 1280
+        focal_ndc = np.array([1.8, 1.7])
+        pp_ndc = np.array([0.02, -0.01])
+        t_l = np.array([0.11, 0.2, 1.0])
+        t_r = np.array([0.64, 0.2, 1.0])
+
+        def reference_chain(vp_l_T, vp_r_T):
+            # _get_pytorch3d_camera (scale=1)
+            half_wh = np.array([w, h]) / 2.0
+            rescale = half_wh if fmt == "ndc_norm_image_bounds" else half_wh.min()
+            pp_px = half_wh - pp_ndc * rescale
+            focal_px = focal_ndc * rescale
+            half_min = half_wh.min()
+            focal_ndc_pt3d = focal_px / half_min
+            # opencv_from_cameras_projection: focal back to px via
+            # min(image_size)/2; tvec = T with x, y negated
+            Ks, Ts = [], []
+            for T in (vp_l_T, vp_r_T):
+                K00 = focal_ndc_pt3d[0] * half_min
+                tvec = T * np.array([-1.0, -1.0, 1.0])
+                Ks.append(K00)
+                Ts.append(tvec)
+            fix_baseline = Ts[0][0] - Ts[1][0]
+            return Ks[0] * fix_baseline
+
+        filenames = {
+            "viewpoint": {
+                "left": [{
+                    "focal_length": list(focal_ndc),
+                    "principal_point": list(pp_ndc),
+                    "intrinsics_format": fmt,
+                    "T": list(t_l),
+                }],
+                "right": [{
+                    "focal_length": list(focal_ndc),
+                    "principal_point": list(pp_ndc),
+                    "intrinsics_format": fmt,
+                    "T": list(t_r),
+                }],
+            },
+            "image_size": {"left": [(h, w)], "right": [(h, w)]},
+        }
+        got = DynamicReplicaDataset._d2d_scale(filenames)
+        want = reference_chain(t_l, t_r)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
 
     def test_only_first_n_samples_cap(self, root):
         ds = DynamicReplicaDataset(root=root, split="valid", sample_len=2,
@@ -155,3 +210,70 @@ class TestKITTIDepth:
                                    rtol=1e-2)
         assert v[:, :, 0, :].max() == 0.0  # missing row invalid
         assert v[:, :, 1:, :].min() == 1.0
+
+
+class TestSouthKensingtonSub:
+    def test_named_subsequence(self, tmp_path):
+        from ppmstereo_tpu.data.datasets import SouthKensingtonStereoVideoSubDataset
+
+        scene = tmp_path / "sk" / "indoor" / "video010"
+        for i in range(4):
+            _write_rgb(str(scene / f"images/left/{i:04d}.png"), i)
+            _write_rgb(str(scene / f"images/right/{i:04d}.png"), i)
+        ds = SouthKensingtonStereoVideoSubDataset(
+            root=str(tmp_path / "sk"), dtype="indoor", subname="video010",
+            sample_len=2,
+        )
+        assert len(ds) == 2
+        item = ds[0]
+        assert item["img"].shape == (2, 2, H, W, 3)
+        assert "disp" not in item  # no GT
+
+
+class TestSintelTrain:
+    def test_forward_and_reversed_clips(self, tmp_path):
+        from ppmstereo_tpu.data.datasets import SequenceSintelStereoTrain
+
+        root = tmp_path / "sintel"
+        seq = root / "training"
+        for i in range(4):
+            _write_rgb(str(seq / f"final_left/alley_1/frame_{i:04d}.png"), i)
+            _write_rgb(str(seq / f"final_right/alley_1/frame_{i:04d}.png"), i)
+            # Sintel disparity PNG encoding: d = R*4 + G/2^6 + B/2^14
+            os.makedirs(seq / "disparities/alley_1", exist_ok=True)
+            img = np.zeros((H, W, 3), np.uint8)
+            img[..., 0] = 2  # disparity = 8 px
+            Image.fromarray(img).save(
+                seq / f"disparities/alley_1/frame_{i:04d}.png"
+            )
+            os.makedirs(seq / "occlusions/alley_1", exist_ok=True)
+            Image.fromarray(np.zeros((H, W), np.uint8)).save(
+                seq / f"occlusions/alley_1/frame_{i:04d}.png"
+            )
+        ds = SequenceSintelStereoTrain(dstype="final", root=str(root), sample_len=2)
+        # (seq_len - sample_len) starts x 2 (forward + reversed) = 4
+        assert len(ds) == 4
+        item = ds[0]
+        assert item["img"].shape == (2, 2, H, W, 3)
+        np.testing.assert_allclose(-item["disp"], 8.0, rtol=1e-5)
+
+
+class TestVKITTI2:
+    def test_depth_to_disparity(self, tmp_path):
+        from ppmstereo_tpu.data.datasets import VKITTI2StereoVideoDataset
+
+        base = tmp_path / "vkitti2" / "Scene01" / "clone" / "frames"
+        for i in range(2):
+            _write_rgb(str(base / f"rgb/Camera_0/rgb_{i:05d}.jpg"), i)
+            _write_rgb(str(base / f"rgb/Camera_1/rgb_{i:05d}.jpg"), i)
+            os.makedirs(base / "depth/Camera_0", exist_ok=True)
+            # VKITTI2 stores depth as uint16 centimeters
+            depth_cm = np.full((H, W), 1000, np.uint16)  # 10 m
+            Image.fromarray(depth_cm, mode="I;16").save(
+                base / f"depth/Camera_0/depth_{i:05d}.png"
+            )
+        ds = VKITTI2StereoVideoDataset(root=str(tmp_path / "vkitti2"))
+        assert len(ds) == 1
+        item = ds[0]
+        want = 725.0087 * 0.532725 / 10.0
+        np.testing.assert_allclose(-item["disp"], want, rtol=1e-4)

@@ -1,0 +1,87 @@
+"""2-process jax.distributed correctness: the sharded train step and the
+distributed evaluator produce the same numbers as a single process.
+
+The reference never tests multi-node (DDP is launched, never verified —
+/root/reference/train.py:493-500); this is the CPU fake-backend
+verification SURVEY.md §4 calls for. Two subprocesses each own 4 virtual
+CPU devices; the driver computes the single-process golden on its own
+8-device mesh and compares.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_train_and_eval(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    port = _free_port()
+    out = tmp_path / "proc0.json"
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(repo, "tests", "distributed_worker.py"),
+             str(pid), "2", str(port), str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=1200)
+        outs.append(stdout.decode(errors="replace"))
+    for p, text in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{text[-3000:]}"
+    assert out.exists(), outs[0][-2000:]
+    dist = json.loads(out.read_text())
+    assert dist["process_count"] == 2
+
+    # ---- single-process golden (8 local devices, same computation) ----
+    from tests.distributed_common import build_eval_predictor_and_dataset, build_train_setup
+
+    import jax
+
+    from ppmstereo_tpu.evaluation.distributed import evaluate_distributed
+    from ppmstereo_tpu.parallel.mesh import MeshSpec, make_mesh
+    from ppmstereo_tpu.parallel.sharding import batch_sharding, replicate, shard_batch
+    from ppmstereo_tpu.train.step import jit_train_step
+
+    mesh = make_mesh(MeshSpec(data=8))
+    model, state, batch_np = build_train_setup()
+    gbatch = shard_batch(mesh, batch_np)
+    state = jax.device_put(state, replicate(mesh))
+    step = jit_train_step(model, mesh, batch_sharding(mesh), replicate(mesh))
+    _, metrics = step(state, gbatch)
+    want_loss = float(jax.device_get(metrics["loss"]))
+
+    predictor, dataset = build_eval_predictor_and_dataset()
+    want_eval = evaluate_distributed(None, predictor, dataset, mesh)
+
+    assert abs(dist["loss"] - want_loss) < 1e-3 * max(1.0, abs(want_loss)), (
+        dist["loss"], want_loss,
+    )
+    for k, v in want_eval.items():
+        if k == "fps":
+            continue
+        assert k in dist["eval"], k
+        assert abs(dist["eval"][k] - float(v)) < 1e-3 * max(1.0, abs(float(v))), (
+            k, dist["eval"][k], float(v),
+        )

@@ -203,6 +203,245 @@ def test_bidastereo_parity():
     _check(got, want)
 
 
+# -------------------------------------------------------------- StereoAnyVideo
+
+
+@pytest.mark.slow
+def test_stereoanyvideo_parity():
+    """Full SAV: frozen VDA depth prior + fnet/cnet encoders + AAPC ->
+    corr MLP -> shared update block -> 3-D convex upsampling.
+
+    The vendored VideoDepthAnything.forward cannot run as shipped (its
+    signature clashes with DepthExtractor's call and it 7/8-pre-resizes
+    inputs that were already /14-sized — video_depth.py:60-66 vs
+    stereoanyvideo_extractor.py:258); the torch side is patched to the
+    coherent contract our DepthExtractor implements: /14-sized frames ->
+    intermediate layers -> DPT-temporal head."""
+    _install_reference()
+    import importlib
+    from unittest import mock
+
+    import torch
+
+    vd = importlib.import_module("models.video_depth_anything.video_depth")
+    sav_mod = importlib.import_module("models.core.stereoanyvideo")
+
+    def fixed_forward(self, x):
+        b, t, c, h, w = x.shape
+        feats = self.pretrained.get_intermediate_layers(
+            x.flatten(0, 1), self.intermediate_layer_idx[self.encoder],
+            return_class_token=True,
+        )
+        return self.head(feats, h // 14, w // 14, t)
+
+    torch.manual_seed(3)
+    fake_vda_sd = vd.VideoDepthAnything(
+        encoder="vits", features=64, out_channels=[48, 96, 192, 384]
+    ).state_dict()
+
+    with mock.patch.object(vd.VideoDepthAnything, "forward", fixed_forward), \
+         mock.patch.object(torch, "load", lambda *a, **kw: fake_vda_sd):
+        torch.manual_seed(0)
+        ref = sav_mod.StereoAnyVideo(mixed_precision=False)
+        ref.eval()
+
+        rng = np.random.default_rng(41)
+        left = rng.uniform(0, 255, (1, T, H, W, 3)).astype(np.float32)
+        right = rng.uniform(0, 255, (1, T, H, W, 3)).astype(np.float32)
+        with torch.no_grad():
+            disp = ref(
+                _to_torch_video(left), _to_torch_video(right),
+                iters=ITERS, test_mode=True,
+            )
+    # SAV's output rearrange is "d (b t) c h w -> d t b c h w" — t leads
+    # (reference stereoanyvideo.py:332)
+    want = disp.permute(1, 0, 3, 4, 2).numpy()  # (b, t, h, w, 1)
+
+    from ppmstereo_tpu.models.stereoanyvideo import StereoAnyVideo, StereoAnyVideoConfig
+    from ppmstereo_tpu.utils.torch_import import import_by_mapping
+    from ppmstereo_tpu.utils.vda_mapping import is_vda_dead_key, vda_transform
+    from ppmstereo_tpu.utils.zoo_mappings import is_zoo_dead_key, stereoanyvideo_mapping
+
+    cfg = StereoAnyVideoConfig(mixed_precision=False)
+    model = StereoAnyVideo(cfg=cfg, iters=ITERS, test_mode=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(left), jnp.asarray(right))
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    mapping = stereoanyvideo_mapping(include_vda=True)
+    new_inner, missing = import_by_mapping(
+        sd, params["params"], mapping, transform=vda_transform
+    )
+    unmapped = sorted(
+        k for k in set(sd) - set(mapping)
+        if not (is_zoo_dead_key(k, mapping) or is_vda_dead_key(k, mapping))
+    )
+    assert not missing, f"missing: {missing[:10]}"
+    assert not unmapped, f"unmapped reference tensors: {unmapped[:10]}"
+
+    got = model.apply({"params": new_inner}, jnp.asarray(left), jnp.asarray(right))
+    _check(got, want)
+
+
+# -------------------------------------------------------------- PPMStereo_VDA
+
+
+def _torch_vda_paths(vda, x_norm, t, sizes):
+    """Compute the 4-scale VFM fusion pyramid with the reference torch
+    VDA submodules, mirroring our _vfm_features contract
+    (models/ppm_stereo.py::_vfm_features): DPT fusion paths
+    (finest->coarsest) resized to the encoder's 1/4..1/32 grids.
+
+    The vendored backbone call is un-runnable as shipped — forward
+    returns ONE tensor where MultiLevelEncoder_VFM expects a 4-list
+    (ppmstereo_VDA.py:619 vs extractor.py:601-611) — so the framework
+    defines this coherent contract; the torch side mirrors it here using
+    the reference's own head modules (dpt_temporal.py:54-94)."""
+    import torch
+    import torch.nn.functional as F
+
+    head = vda.head
+    n, _, h, w = x_norm.shape
+    ph, pw = h // 14, w // 14
+    b = n // t
+    with torch.no_grad():
+        feats = vda.pretrained.get_intermediate_layers(
+            x_norm, vda.intermediate_layer_idx[vda.encoder], return_class_token=True
+        )
+        out = []
+        for i, f in enumerate(feats):
+            y = f[0].permute(0, 2, 1).reshape(n, f[0].shape[-1], ph, pw).contiguous()
+            out.append(head.resize_layers[i](head.projects[i](y)))
+        l1, l2, l3, l4 = out
+
+        def mm(i, x):
+            return head.motion_modules[i](
+                x.unflatten(0, (b, t)).permute(0, 2, 1, 3, 4), None, None
+            ).permute(0, 2, 1, 3, 4).flatten(0, 1)
+
+        l3, l4 = mm(0, l3), mm(1, l4)
+        rn = [head.scratch.layer1_rn(l1), head.scratch.layer2_rn(l2),
+              head.scratch.layer3_rn(l3), head.scratch.layer4_rn(l4)]
+        p4 = head.scratch.refinenet4(rn[3], size=rn[2].shape[2:])
+        p4 = mm(2, p4)
+        p3 = head.scratch.refinenet3(p4, rn[2], size=rn[1].shape[2:])
+        p3 = mm(3, p3)
+        p2 = head.scratch.refinenet2(p3, rn[1], size=rn[0].shape[2:])
+        p1 = head.scratch.refinenet1(p2, rn[0])
+        paths = (p1, p2, p3, p4)
+        return [
+            F.interpolate(p, size=sz, mode="bilinear", align_corners=False)
+            for p, sz in zip(paths, sizes)
+        ]
+
+
+@pytest.mark.slow
+def test_ppmstereo_vda_parity():
+    """PPMStereo_VDA: MultiLevelEncoder_VFM fused with the frozen VDA
+    pyramid + ConvNeXt cnet + the full PPM pick-and-play cascade."""
+    _install_reference()
+    import importlib
+    from unittest import mock
+
+    import torch
+
+    cn = importlib.import_module("models.core.convnext")
+    vd = importlib.import_module("models.video_depth_anything.video_depth")
+
+    torch.manual_seed(1)
+    fake_cnet_sd = cn.convnextv2_tiny().state_dict()
+    torch.manual_seed(3)
+    fake_vda_sd = vd.VideoDepthAnything(
+        encoder="vits", features=64, out_channels=[48, 96, 192, 384]
+    ).state_dict()
+
+    def fake_load(path, *a, **kw):
+        if "vpt" in str(path):
+            return fake_vda_sd
+        return {"model": fake_cnet_sd}
+
+    at = "self_stereo_temporal_update_time_update_space"
+    with mock.patch.object(torch, "load", fake_load), \
+         mock.patch.object(torch.nn.Module, "to", lambda self, *a, **kw: self):
+        ppm_vda = importlib.import_module("models.core.ppmstereo_VDA")
+        torch.manual_seed(0)
+        ref = ppm_vda.PPMStereo_VDA(
+            mixed_precision=False,
+            num_frames=T,
+            attention_type=at,
+            use_3d_update_block=True,
+            different_update_blocks=True,
+            use_convex_3d=True,
+        )
+    ref.eval()
+    with torch.no_grad():
+        for blk in (ref.update_block16, ref.update_block08, ref.update_block04):
+            blk.aggregator.beta.fill_(0.5)
+
+    rng = np.random.default_rng(51)
+    left = rng.uniform(0, 255, (1, T, H, W, 3)).astype(np.float32)
+    right = rng.uniform(0, 255, (1, T, H, W, 3)).astype(np.float32)
+
+    # patch the backbone call to the coherent VFM contract (see
+    # _torch_vda_paths): imagenet-normalized /14-sized frames in, 4-scale
+    # 64-ch pyramid out
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1) * 255.0
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1) * 255.0
+    nh, nw = (H // 14) * 14, (W // 14) * 14
+    sizes = [(H // 4 // s, W // 4 // s) for s in (1, 2, 4, 8)]
+
+    import torch.nn.functional as F
+
+    def backbone_forward(self, x, t=None):
+        raw = (x + 1.0) * 127.5  # undo the [-1,1] normalization
+        xn = F.interpolate((raw - mean) / std, size=(nh, nw),
+                           mode="bilinear", align_corners=False)
+        return _torch_vda_paths(self, xn, T, sizes)
+
+    with mock.patch.object(vd.VideoDepthAnything, "forward", backbone_forward), \
+         torch.no_grad():
+        out = ref(_to_torch_video(left), _to_torch_video(right),
+                  iters=ITERS, test_mode=True)
+    disp = out[0] if isinstance(out, tuple) else out
+    want = disp.permute(0, 1, 3, 4, 2).numpy()
+
+    from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig
+    from ppmstereo_tpu.utils.ppm_mapping import grn_transform, is_dead_reference_key
+    from ppmstereo_tpu.utils.torch_import import import_by_mapping
+    from ppmstereo_tpu.utils.vda_mapping import is_vda_dead_key, vda_transform
+    from ppmstereo_tpu.utils.zoo_mappings import is_zoo_dead_key, ppmstereo_vda_mapping
+
+    cfg = PPMStereoConfig(
+        mixed_precision=False, use_cnet=True, use_vfm=True, attention_type=at,
+        num_frames=T, top_k=T, force_xla_attention=True,
+    )
+    model = PPMStereo(cfg=cfg, iters=ITERS, test_mode=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(left), jnp.asarray(right))
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    mapping = ppmstereo_vda_mapping(attention_type=at)
+
+    def transform(name, w):
+        if ".grn." in name:
+            return grn_transform(name, w)
+        return vda_transform(name, w)
+
+    new_inner, missing = import_by_mapping(
+        sd, params["params"], mapping, transform=transform
+    )
+    unmapped = sorted(
+        k for k in set(sd) - set(mapping)
+        if not (is_dead_reference_key(k, mapping) or is_zoo_dead_key(k, mapping)
+                or is_vda_dead_key(k, mapping))
+    )
+    assert not missing, f"missing: {missing[:10]}"
+    assert not unmapped, f"unmapped reference tensors: {unmapped[:10]}"
+
+    got_disp, _ = model.apply(
+        {"params": new_inner}, jnp.asarray(left), jnp.asarray(right)
+    )
+    _check(np.asarray(got_disp), want)
+
+
 # ----------------------------------------------------------------------- RAFT
 
 
