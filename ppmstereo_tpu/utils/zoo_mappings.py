@@ -180,6 +180,72 @@ def raft_mapping(t: str = "", f: str = "") -> dict[str, str]:
     return m
 
 
+def _rs_residual_mapping(tb: str, fb: str, norm: str,
+                         has_downsample: bool) -> dict[str, str]:
+    m = {}
+    m.update(_conv(f"{tb}.conv1", f"{fb}/conv1/Conv_0"))
+    m.update(_conv(f"{tb}.conv2", f"{fb}/conv2/Conv_0"))
+    if norm == "batch":
+        m.update(_frozen_bn(f"{tb}.norm1", f"{fb}/norm1"))
+        m.update(_frozen_bn(f"{tb}.norm2", f"{fb}/norm2"))
+    if has_downsample:
+        m.update(_conv(f"{tb}.downsample.0", f"{fb}/downsample/Conv_0"))
+        if norm == "batch":
+            m.update(_frozen_bn(f"{tb}.norm3", f"{fb}/norm3"))
+            m.update(_frozen_bn(f"{tb}.downsample.1", f"{fb}/norm3"))
+    return m
+
+
+def rs_multi_encoder_mapping(t: str, f: str, norm: str = "batch") -> dict[str, str]:
+    """RAFT-Stereo MultiBasicEncoder (downsample=2) ->
+    models/raft_stereo.py::RSMultiEncoder."""
+    m = {}
+    m.update(_conv(f"{t}.conv1", f"{f}/conv1/Conv_0"))
+    if norm == "batch":
+        m.update(_frozen_bn(f"{t}.norm1", f"{f}/norm1"))
+    for li in range(1, 6):
+        for bj in (0, 1):
+            m.update(_rs_residual_mapping(
+                f"{t}.layer{li}.{bj}", f"{f}/layer{li}_{bj}", norm,
+                has_downsample=(li > 1 and bj == 0),
+            ))
+    for label in ("outputs08", "outputs16"):
+        for i in (0, 1):
+            m.update(_rs_residual_mapping(
+                f"{t}.{label}.{i}.0", f"{f}/{label}_{i}_res", norm,
+                has_downsample=False,
+            ))
+            m.update(_conv(f"{t}.{label}.{i}.1", f"{f}/{label}_{i}_conv/Conv_0"))
+    for i in (0, 1):
+        m.update(_conv(f"{t}.outputs32.{i}", f"{f}/outputs32_{i}_conv/Conv_0"))
+    return m
+
+
+def raftstereo_mapping(t: str = "", f: str = "") -> dict[str, str]:
+    """princeton-vl RAFT-Stereo at the reference's shipped args
+    (raft_stereo_model.py:34-45) -> models/raft_stereo.py::RAFTStereo."""
+    tp = f"{t}." if t else ""
+    fp = f"{f}/" if f else ""
+    m = {}
+    m.update(_raft_encoder_mapping(f"{tp}fnet", f"{fp}fnet", "instance"))
+    m.update(rs_multi_encoder_mapping(f"{tp}cnet", f"{fp}cnet", "batch"))
+    ub, fb = f"{tp}update_block", f"{fp}update_block"
+    for name in ("convc1", "convc2", "convf1", "convf2", "conv"):
+        m.update(_conv(f"{ub}.encoder.{name}", f"{fb}/encoder/{name}/Conv_0"))
+    for g in ("gru04", "gru08", "gru16"):
+        for c in ("convz", "convr", "convq"):
+            m.update(_conv(f"{ub}.{g}.{c}", f"{fb}/{g}/{c}/Conv_0"))
+    m.update(_conv(f"{ub}.flow_head.conv1", f"{fb}/flow_conv1/Conv_0"))
+    m.update(_conv(f"{ub}.flow_head.conv2", f"{fb}/flow_conv2/Conv_0"))
+    m.update(_conv(f"{ub}.mask.0", f"{fb}/mask_conv1/Conv_0"))
+    m.update(_conv(f"{ub}.mask.2", f"{fb}/mask_conv2/Conv_0"))
+    for i in range(3):
+        m.update(_conv(
+            f"{tp}context_zqr_convs.{i}", f"{fp}context_zqr_convs_{i}/Conv_0"
+        ))
+    return m
+
+
 def sav_update_block_mapping(t: str, f: str) -> dict[str, str]:
     """StereoAnyVideo SequenceUpdateBlock3D (reference
     stereoanyvideo_update.py:353-387) -> nn/update.py::SAVSequenceUpdateBlock3D

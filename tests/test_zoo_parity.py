@@ -442,6 +442,54 @@ def test_ppmstereo_vda_parity():
     _check(np.asarray(got_disp), want)
 
 
+# ---------------------------------------------------------------- RAFT-Stereo
+
+
+def test_raftstereo_parity():
+    """RAFT-Stereo vs a faithful torch princeton-vl RAFT-Stereo at the
+    reference's shipped args (tests/raftstereo_torch_stub.py), incl. the
+    multi-scale batch-norm context encoder and per-scale gate biases."""
+    import torch
+
+    from tests.raftstereo_torch_stub import RAFTStereo as TorchRAFTStereo
+
+    from ppmstereo_tpu.models.raft_stereo import RAFTStereo, RAFTStereoConfig
+    from ppmstereo_tpu.utils.torch_import import import_by_mapping
+    from ppmstereo_tpu.utils.zoo_mappings import is_zoo_dead_key, raftstereo_mapping
+
+    torch.manual_seed(0)
+    ref = TorchRAFTStereo()
+    gen = torch.Generator().manual_seed(11)
+    with torch.no_grad():
+        for mod in ref.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.copy_(torch.randn(mod.running_mean.shape, generator=gen) * 0.5)
+                mod.running_var.copy_(torch.rand(mod.running_var.shape, generator=gen) + 0.5)
+    ref.eval()
+
+    rng = np.random.default_rng(61)
+    h, w = 64, 128
+    im1 = rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32)
+    im2 = rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32)
+    t1 = torch.from_numpy(im1).permute(0, 3, 1, 2).contiguous()
+    t2 = torch.from_numpy(im2).permute(0, 3, 1, 2).contiguous()
+    with torch.no_grad():
+        _, flow_up = ref(t1, t2, iters=4, test_mode=True)
+    want = flow_up.permute(0, 2, 3, 1).numpy()  # (1, h, w, 1)
+
+    model = RAFTStereo(cfg=RAFTStereoConfig(), iters=4)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(im1), jnp.asarray(im2))
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    mapping = raftstereo_mapping()
+    new_inner, missing = import_by_mapping(sd, params["params"], mapping)
+    unmapped = sorted(k for k in set(sd) - set(mapping) if not is_zoo_dead_key(k, mapping))
+    assert not missing, f"missing: {missing[:10]}"
+    assert not unmapped, f"unmapped torch tensors: {unmapped[:10]}"
+
+    got = model.apply({"params": new_inner}, jnp.asarray(im1), jnp.asarray(im2))
+    _check(np.asarray(got), want, max_abs=0.05, min_corr=0.999)
+
+
 # ----------------------------------------------------------------------- RAFT
 
 
