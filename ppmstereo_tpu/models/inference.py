@@ -147,21 +147,25 @@ class SlidingWindowPredictor:
         k = self.kernel_size
         stride = k if self.fast_mode else k // 2
 
+        # upload the video ONCE and slice windows on device: overlapping
+        # windows share stride frames, so per-window host->device uploads
+        # move ~2x the data and serialize on tunnel latency
+        dvideo = jnp.asarray(video)
+
         if k > num_ims:
-            disp, unc = self._run_window(
-                jnp.asarray(video[:, 0]), jnp.asarray(video[:, 1])
-            )
+            disp, unc = self._run_window(dvideo[:, 0], dvideo[:, 1])
             return {
                 "disparity": np.abs(np.asarray(disp)),
                 "uncertainties": np.abs(np.asarray(unc)),
             }
 
-        jobs = []  # (start, wlen, left_frames, right_frames)
+        jobs = []  # (start, wlen, left_frames, right_frames) device slices
         for i in range(0, num_ims, stride):
-            window = video[i : min(i + k, num_ims)]
-            if not self.fast_mode and i > 0 and len(window) < stride:
+            j = min(i + k, num_ims)
+            wlen = j - i
+            if not self.fast_mode and i > 0 and wlen < stride:
                 continue  # reference skips tails shorter than a stride
-            jobs.append((i, len(window), window[:, 0], window[:, 1]))
+            jobs.append((i, wlen, dvideo[i:j, 0], dvideo[i:j, 1]))
 
         disp_parts, unc_parts = [], []
         pending = []  # (start, wlen, disp, unc) device results, fetched lazily
@@ -171,16 +175,14 @@ class SlidingWindowPredictor:
             prev_start, prev_disp = None, None
             for i, wlen, lw, rw in jobs:
                 if prev_disp is None:
-                    disp, unc = self._run_window(jnp.asarray(lw), jnp.asarray(rw))
+                    disp, unc = self._run_window(lw, rw)
                 else:
                     ov = max(0, min(prev_start + len(prev_disp) - i, wlen))
                     init = np.empty((wlen, *prev_disp.shape[1:]), np.float32)
                     if ov > 0:
                         init[:ov] = prev_disp[len(prev_disp) - ov :]
                     init[ov:] = prev_disp[-1] if ov == 0 else init[ov - 1]
-                    disp, unc = self._run_window_warm(
-                        jnp.asarray(lw), jnp.asarray(rw), jnp.asarray(init)
-                    )
+                    disp, unc = self._run_window_warm(lw, rw, jnp.asarray(init))
                 disp = np.asarray(disp)
                 prev_start, prev_disp = i, disp
                 pending.append((i, wlen, disp, np.asarray(unc)))
@@ -198,11 +200,11 @@ class SlidingWindowPredictor:
             idx += len(group)
             if len(group) == 1:
                 i, wlen, lw, rw = group[0]
-                disp, unc = self._run_window(jnp.asarray(lw), jnp.asarray(rw))
+                disp, unc = self._run_window(lw, rw)
                 pending.append((i, wlen, disp, unc))
             else:
-                ls = jnp.asarray(np.stack([g[2] for g in group]))
-                rs = jnp.asarray(np.stack([g[3] for g in group]))
+                ls = jnp.stack([g[2] for g in group])
+                rs = jnp.stack([g[3] for g in group])
                 ds, us = self._run_window_batch(ls, rs)
                 for gi, (i, wlen, _, _) in enumerate(group):
                     pending.append((i, wlen, ds[gi], us[gi]))

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ppmstereo_tpu.models.bidastereo import BiDAStereo, BiDAStereoConfig
 from ppmstereo_tpu.models.raft import RAFT, RAFTConfig
@@ -27,6 +28,7 @@ def test_raft_forward():
     assert np.isfinite(np.asarray(flow_up)).all()
 
 
+@pytest.mark.slow
 def test_bidastereo_forward():
     left, right = _clip(t=2)
     model = BiDAStereo(cfg=BiDAStereoConfig(raft_iters=2), iters=2, test_mode=True)
@@ -43,6 +45,7 @@ def test_bidastereo_forward():
     )
 
 
+@pytest.mark.slow
 def test_bidastereo_gradients():
     """Training-mode BiDAStereo backprops finite, nonzero gradients
     through the update loop (the frozen RAFT flow provider sits under

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ppmstereo_tpu.models.dynamic_stereo import DynamicStereo, DynamicStereoConfig
 
@@ -16,6 +17,7 @@ def _clip(b=1, t=3, h=64, w=128):
     return jnp.asarray(left), jnp.asarray(right)
 
 
+@pytest.mark.slow
 def test_eval_and_train_forward():
     left, right = _clip()
     model = DynamicStereo(cfg=TINY, iters=2, test_mode=True)

@@ -23,6 +23,7 @@ def _clip(b=1, t=3, h=64, w=128):
 
 
 class TestPPMForward:
+    @pytest.mark.slow
     def test_eval_forward_shapes(self):
         left, right = _clip()
         model = PPMStereo(cfg=TINY, iters=2, test_mode=True)
@@ -61,6 +62,7 @@ class TestPPMForward:
             np.asarray(unc), np.asarray(uncs[-1]), rtol=1e-5, atol=1e-5
         )
 
+    @pytest.mark.slow
     def test_grads_flow(self):
         left, right = _clip(t=3, h=32, w=128)
         model = PPMStereo(cfg=TINY, iters=2, test_mode=False)
@@ -78,6 +80,7 @@ class TestPPMForward:
         assert gnorm > 0
 
 
+@pytest.mark.slow
 def test_ppm_vda_variant():
     """PPMStereo_VDA: VFM-fused multilevel encoder path."""
     cfg = PPMStereoConfig(
@@ -107,6 +110,7 @@ def test_chunk_sizes_balanced():
             assert max(sizes) - min(sizes) <= 1
 
 
+@pytest.mark.slow
 def test_play_chunked_matches_unchunked(monkeypatch):
     """Forcing the target-axis chunking in _play (production: 720p k20)
     must be numerically identical to the single-batch path; chunk-size

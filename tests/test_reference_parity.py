@@ -117,6 +117,7 @@ def _torch_forward(model, left, right):
     )
 
 
+@pytest.mark.slow
 def test_full_forward_parity(reference_model):
     """Reference torch model and our flax model agree on disparity."""
     from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig

@@ -3,10 +3,12 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ppmstereo_tpu.models.stereoanyvideo import StereoAnyVideo, StereoAnyVideoConfig
 
 
+@pytest.mark.slow
 def test_stereoanyvideo_forward():
     rng = np.random.default_rng(4)
     left = jnp.asarray(rng.uniform(0, 255, (1, 2, 64, 128, 3)).astype(np.float32))
@@ -25,6 +27,7 @@ def test_stereoanyvideo_forward():
     )
 
 
+@pytest.mark.slow
 def test_stereoanyvideo_odd_iters_tail():
     """Odd iteration counts run pairs + one unrolled (1,9) tail and stay
     consistent between train and test modes."""
@@ -41,9 +44,6 @@ def test_stereoanyvideo_odd_iters_tail():
     np.testing.assert_allclose(
         np.asarray(preds[-1]), np.asarray(disp), rtol=1e-5, atol=1e-5
     )
-
-
-import pytest
 
 
 @pytest.mark.slow
@@ -75,6 +75,7 @@ def test_stereoanyvideo_gradients_reference_iters():
     assert np.isfinite(total) and total > 0.0
 
 
+@pytest.mark.slow
 def test_stereoanyvideo_gradients():
     """Training-mode StereoAnyVideo backprops finite, nonzero gradients
     through the AAPC + update loop (frozen VDA depthnet under
