@@ -48,6 +48,7 @@ from ppmstereo_tpu.ops.geometry import (
     avg_pool2d,
     coords_grid_x,
     cosine_similarity_matrix,
+    interp_ac_false,
     interp_bilinear,
 )
 from ppmstereo_tpu.ops.upsample import convex_upsample_2d, convex_upsample_3d
@@ -111,24 +112,7 @@ def _interp_ac_false(x: jax.Array, scale: int) -> jax.Array:
     an integer factor on (..., H, W, C) — the uncertainty-map resize
     (ppmstereo.py:578)."""
     h, w = x.shape[-3], x.shape[-2]
-
-    def axis_resize(y, axis, isz):
-        osz = isz * scale
-        pos = (np.arange(osz, dtype=np.float64) + 0.5) / scale - 0.5
-        i0 = np.floor(pos)
-        frac = (pos - i0).astype(np.float32)
-        i0c = np.clip(i0.astype(np.int64), 0, isz - 1)
-        i1c = np.clip(i0.astype(np.int64) + 1, 0, isz - 1)
-        y0 = jnp.take(y, jnp.asarray(i0c), axis=axis)
-        y1 = jnp.take(y, jnp.asarray(i1c), axis=axis)
-        shape = [1] * y.ndim
-        shape[axis] = osz
-        wgt = jnp.asarray(frac).reshape(shape).astype(y.dtype)
-        return y0 * (1 - wgt) + y1 * wgt
-
-    x = axis_resize(x, x.ndim - 3, h)
-    x = axis_resize(x, x.ndim - 2, w)
-    return x
+    return interp_ac_false(x, (h * scale, w * scale))
 
 
 def _upsample_flow(cfg: PPMStereoConfig, flow, mask):

@@ -114,29 +114,9 @@ class DepthExtractor(nn.Module):
 def interp_ac_false_to(x, hw):
     """bilinear align_corners=False resize to an arbitrary size on
     (..., H, W, C) — torch F.interpolate default semantics."""
-    import numpy as np
+    from ppmstereo_tpu.ops.geometry import interp_ac_false
 
-    h_in, w_in = x.shape[-3], x.shape[-2]
-    oh, ow = hw
-
-    def axis_resize(y, axis, isz, osz):
-        if isz == osz:
-            return y
-        pos = (np.arange(osz, dtype=np.float64) + 0.5) * isz / osz - 0.5
-        i0 = np.floor(pos).astype(np.int64)
-        frac = (pos - i0).astype(np.float32)
-        i0c = np.clip(i0, 0, isz - 1)
-        i1c = np.clip(i0 + 1, 0, isz - 1)
-        y0 = jnp.take(y, jnp.asarray(i0c), axis=axis)
-        y1 = jnp.take(y, jnp.asarray(i1c), axis=axis)
-        shape = [1] * y.ndim
-        shape[axis] = osz
-        wgt = jnp.asarray(frac).reshape(shape).astype(y.dtype)
-        return y0 * (1 - wgt) + y1 * wgt
-
-    x = axis_resize(x, x.ndim - 3, h_in, oh)
-    x = axis_resize(x, x.ndim - 2, w_in, ow)
-    return x
+    return interp_ac_false(x, hw)
 
 
 def imagenet_normalize(images_0_255):

@@ -2,6 +2,7 @@ from ppmstereo_tpu.ops.geometry import (
     adaptive_max_pool2d,
     avg_pool2d,
     coords_grid_x,
+    interp_ac_false,
     interp_bilinear,
     upsample2x_nearest,
 )

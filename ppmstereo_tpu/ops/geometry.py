@@ -28,27 +28,71 @@ def coords_grid_x(batch: int, ht: int, wd: int, dtype=jnp.float32) -> jax.Array:
     return jnp.broadcast_to(x, (batch, ht, wd))
 
 
-def _linear_resize_1d(x: jax.Array, axis: int, out_size: int) -> jax.Array:
-    """align_corners=True linear resize along one axis (torch interp parity)."""
+@functools.lru_cache(maxsize=256)
+def _resize_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """(in_size, out_size) two-tap linear interpolation matrix matching
+    torch F.interpolate(mode="bilinear") tap positions for the given
+    align_corners flag (clip-to-edge out-of-range taps)."""
+    if align_corners:
+        if out_size == 1 or in_size == 1:
+            pos = np.zeros((out_size,), dtype=np.float64)
+        else:
+            pos = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    else:
+        pos = (np.arange(out_size, dtype=np.float64) + 0.5) * in_size / out_size - 0.5
+    i0 = np.floor(pos).astype(np.int64)
+    w1 = (pos - i0).astype(np.float32)
+    i0c = np.clip(i0, 0, in_size - 1)
+    i1c = np.clip(i0 + 1, 0, in_size - 1)
+    cols = np.arange(out_size)
+    mat = np.zeros((in_size, out_size), dtype=np.float32)
+    np.add.at(mat, (i0c, cols), 1.0 - w1)
+    np.add.at(mat, (i1c, cols), w1)
+    return mat
+
+
+def two_tap_resize_1d(
+    x: jax.Array, axis: int, out_size: int, align_corners: bool
+) -> jax.Array:
+    """Linear resize along one axis (torch interp parity), expressed as a
+    contraction with a constant two-tap matrix rather than index gathers:
+    the GSPMD partitioner reshards static-index gathers by full
+    rematerialization (replicate-then-partition) on batch/seq/space
+    meshes, while a dot_general passes every non-contracted sharded axis
+    straight through — and the MXU runs it for free at these sizes. Each
+    matrix column holds exactly the two lerp taps, so for float inputs
+    (HIGHEST precision, f32 accumulation) the result equals the two-tap
+    gather formulation.
+    """
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
-    if out_size == 1:
-        pos = np.zeros((1,), dtype=np.float64)
-    elif in_size == 1:
-        pos = np.zeros((out_size,), dtype=np.float64)
-    else:
-        pos = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
-    i0 = np.clip(np.floor(pos).astype(np.int64), 0, in_size - 1)
-    i1 = np.minimum(i0 + 1, in_size - 1)
-    w1 = (pos - i0).astype(np.float32)
+    axis = axis % x.ndim
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        raise TypeError(f"linear resize needs a float dtype, got {x.dtype}")
+    mat = _resize_matrix(in_size, out_size, align_corners)
+    y = jax.lax.dot_general(
+        x,
+        jnp.asarray(mat, dtype=x.dtype),
+        dimension_numbers=(((axis,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # dot_general appends the new axis last; restore its position
+    return jnp.moveaxis(y, -1, axis)
 
-    x0 = jnp.take(x, jnp.asarray(i0), axis=axis)
-    x1 = jnp.take(x, jnp.asarray(i1), axis=axis)
-    wshape = [1] * x.ndim
-    wshape[axis] = out_size
-    w1 = jnp.asarray(w1).reshape(wshape).astype(x.dtype)
-    return x0 * (1 - w1) + x1 * w1
+
+def _linear_resize_1d(x: jax.Array, axis: int, out_size: int) -> jax.Array:
+    return two_tap_resize_1d(x, axis, out_size, align_corners=True)
+
+
+def interp_ac_false(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear align_corners=False resize of (..., H, W, C) to out_hw —
+    torch F.interpolate default semantics (uncertainty-map and VDA
+    feature resizes)."""
+    h, w = out_hw
+    x = two_tap_resize_1d(x, x.ndim - 3, h, align_corners=False)
+    x = two_tap_resize_1d(x, x.ndim - 2, w, align_corners=False)
+    return x
 
 
 def interp_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
