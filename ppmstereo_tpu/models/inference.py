@@ -61,6 +61,7 @@ class SlidingWindowPredictor:
         fast_mode: bool = False,
         batch_windows: int = 1,
         warm_window_fn: Callable | None = None,
+        wire_dtype=None,
     ):
         """fast_mode=True runs non-overlapping windows (stride ==
         kernel_size, no edge trimming) — ~2x throughput over the
@@ -79,8 +80,16 @@ class SlidingWindowPredictor:
         previous window's signed disparity (overlapping frames verbatim,
         new frames from the last overlapping frame) and runs only the
         final refinement stage — typically at a reduced iteration budget.
-        Non-parity; windows then execute sequentially (each depends on
-        its predecessor)."""
+        Non-parity. The seed is assembled ON DEVICE from the previous
+        window's device-resident output, so windows chain without a
+        host round-trip and result fetches overlap later windows'
+        compute (the axon tunnel downloads at ~15-25 MB/s — a blocking
+        75 MB fetch per 720p window would dominate the warm savings).
+
+        wire_dtype (e.g. jnp.float16) casts outputs on device before the
+        host fetch — halves tunnel download bytes; results are upcast to
+        float32 on host. None (default) keeps the exact f32 wire format
+        (strict parity)."""
         self.window_fn = window_fn
         self.warm_window_fn = warm_window_fn
         self.kernel_size = kernel_size
@@ -88,6 +97,7 @@ class SlidingWindowPredictor:
         self.align_windows = align_windows
         self.fast_mode = fast_mode
         self.batch_windows = max(1, batch_windows)
+        self.wire_dtype = wire_dtype
         self._jitted: dict[tuple, Callable] = {}
 
     def _run_window(self, left: jax.Array, right: jax.Array):
@@ -105,21 +115,28 @@ class SlidingWindowPredictor:
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key](left, right)
 
-    def _run_window_warm(self, left, right, flow_init):
-        """Warm window: flow_init (T, H, W, 1) signed x-flow at full res."""
+    def _run_window_warm(self, left, right, prev_disp, overlap: int):
+        """Warm window seeded from the previous window's device-resident
+        signed disparity: seed = [prev_disp[-overlap:], then the last
+        overlapping frame repeated for the new frames] — assembled inside
+        the jitted graph so chaining never syncs to host."""
         t, h, w, _ = left.shape
-        key = ("warm", t, h, w)
+        prev_len = prev_disp.shape[0]
+        key = ("warm", t, h, w, prev_len, overlap)
         if key not in self._jitted:
             padder = InputPadder(h, w, divis_by=self.divis_by)
+            ov = overlap
 
-            def fn(l, r, fi):
+            def fn(l, r, prev):
+                tail = jnp.broadcast_to(prev[-1:], (t - ov, *prev.shape[1:]))
+                fi = jnp.concatenate([prev[prev_len - ov :], tail]) if ov else tail
                 lp, rp = padder.pad(l, r)
-                (fip,) = padder.pad(fi)
+                (fip,) = padder.pad(fi.astype(jnp.float32))
                 disp, unc = self.warm_window_fn(lp[None], rp[None], fip[None])
                 return padder.unpad(disp[0]), padder.unpad(unc[0])
 
             self._jitted[key] = jax.jit(fn)
-        return self._jitted[key](left, right, flow_init)
+        return self._jitted[key](left, right, prev_disp)
 
     def _run_window_batch(self, lefts: jax.Array, rights: jax.Array):
         """lefts/rights: (B, T, H, W, 3). Returns (disp, unc): (B, T, H, W, 1)."""
@@ -171,21 +188,18 @@ class SlidingWindowPredictor:
         pending = []  # (start, wlen, disp, unc) device results, fetched lazily
 
         if self.warm_window_fn is not None:
-            # warm-start mode: sequential, each window seeded by the last
+            # warm-start mode: each window seeded by the last, chained on
+            # device — dispatches enqueue without host syncs and fetches
+            # overlap later windows' compute
             prev_start, prev_disp = None, None
             for i, wlen, lw, rw in jobs:
                 if prev_disp is None:
                     disp, unc = self._run_window(lw, rw)
                 else:
-                    ov = max(0, min(prev_start + len(prev_disp) - i, wlen))
-                    init = np.empty((wlen, *prev_disp.shape[1:]), np.float32)
-                    if ov > 0:
-                        init[:ov] = prev_disp[len(prev_disp) - ov :]
-                    init[ov:] = prev_disp[-1] if ov == 0 else init[ov - 1]
-                    disp, unc = self._run_window_warm(lw, rw, jnp.asarray(init))
-                disp = np.asarray(disp)
+                    ov = max(0, min(prev_start + prev_disp.shape[0] - i, wlen))
+                    disp, unc = self._run_window_warm(lw, rw, prev_disp, ov)
                 prev_start, prev_disp = i, disp
-                pending.append((i, wlen, disp, np.asarray(unc)))
+                pending.append((i, wlen, disp, unc))
             jobs = []
 
         idx = 0
@@ -209,34 +223,50 @@ class SlidingWindowPredictor:
                 for gi, (i, wlen, _, _) in enumerate(group):
                     pending.append((i, wlen, ds[gi], us[gi]))
 
+        wire = self.wire_dtype
+
+        def trim(x, lo: int, hi: int):
+            """Slice [lo, len-hi) BEFORE the host fetch: slicing a device
+            array is a lazy device op, so only kept frames (and, with
+            wire_dtype set, narrower elements) cross the ~15-25 MB/s
+            tunnel; trimming is pure slicing so stitching stays
+            bit-identical to the reference arithmetic."""
+            y = x[lo : x.shape[0] - hi] if hi else x[lo:]
+            if wire is not None and not isinstance(y, np.ndarray):
+                y = y.astype(wire)
+            return y
+
         prev_disp = None
         prev_start = None
         for i, wlen, disp, unc in pending:
-            disp = np.asarray(disp)
-            unc = np.asarray(unc)
-            if self.align_windows and prev_disp is not None:
-                # overlap between window starting at prev_start and this one
-                ov = prev_start + len(prev_disp) - i
-                if ov > 0:
-                    a, b = scale_shift_align(prev_disp[-ov:], disp[:ov])
-                    disp = a * disp + b
-            prev_disp, prev_start = disp, i
+            if self.align_windows:
+                # alignment regresses on full overlapping windows on host
+                disp = np.asarray(disp)
+                unc = np.asarray(unc)
+                if prev_disp is not None:
+                    ov = prev_start + len(prev_disp) - i
+                    if ov > 0:
+                        a, b = scale_shift_align(prev_disp[-ov:], disp[:ov])
+                        disp = a * disp + b
+                prev_disp, prev_start = disp, i
             if self.fast_mode:
                 # non-overlapping windows: every frame is kept untrimmed
-                disp_parts.append(disp)
-                unc_parts.append(unc)
+                lo, hi = 0, 0
             elif i == 0:
                 # first window: trim the trailing stride//2 (reference :306)
-                disp_parts.append(disp[: -(stride // 2)])
-                unc_parts.append(unc[: -(stride // 2)])
+                lo, hi = 0, stride // 2
             elif wlen < k:
-                disp_parts.append(disp[stride // 2 :])
-                unc_parts.append(unc[stride // 2 :])
+                lo, hi = stride // 2, 0
             else:
-                disp_parts.append(disp[stride // 2 : -(stride // 2)])
-                unc_parts.append(unc[stride // 2 : -(stride // 2)])
+                lo, hi = stride // 2, stride // 2
+            disp_parts.append(trim(disp, lo, hi))
+            unc_parts.append(trim(unc, lo, hi))
+
+        def assemble(parts):
+            out = np.concatenate([np.asarray(p) for p in parts])
+            return np.abs(out.astype(np.float32) if wire is not None else out)
 
         return {
-            "disparity": np.abs(np.concatenate(disp_parts)),
-            "uncertainties": np.abs(np.concatenate(unc_parts)),
+            "disparity": assemble(disp_parts),
+            "uncertainties": assemble(unc_parts),
         }

@@ -79,6 +79,7 @@ class StereoVideoPredictor:
         batch_windows: int = 1,
         warm_start: bool = False,
         warm_iters: int | None = None,
+        wire_f16: bool = False,
     ):
         self.kernel_size = kernel_size
         self.iters = iters
@@ -113,6 +114,7 @@ class StereoVideoPredictor:
         self.predictor = SlidingWindowPredictor(
             window_fn, kernel_size=kernel_size, fast_mode=fast_mode,
             batch_windows=batch_windows, warm_window_fn=warm_fn,
+            wire_dtype=jnp.float16 if wire_f16 else None,
         )
 
     def load_params(self, params):
@@ -129,7 +131,7 @@ class StereoVideoPredictor:
 @register("PPMStereoModel")
 def _build_ppm(kernel_size: int = 20, iters: int = 20, params=None,
                warm_start: bool = False, warm_iters: int | None = None,
-               **cfg_kwargs):
+               wire_f16: bool = False, **cfg_kwargs):
     from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig
 
     cfg = PPMStereoConfig(**cfg_kwargs)
@@ -137,7 +139,7 @@ def _build_ppm(kernel_size: int = 20, iters: int = 20, params=None,
         lambda it=None: PPMStereo(cfg=cfg, iters=(it or iters), test_mode=True),
         kernel_size=kernel_size, iters=iters, params=params,
         outputs_uncertainty=True,
-        warm_start=warm_start, warm_iters=warm_iters,
+        warm_start=warm_start, warm_iters=warm_iters, wire_f16=wire_f16,
     )
 
 

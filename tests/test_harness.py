@@ -264,6 +264,67 @@ class TestBatchedWindows:
         )
 
 
+class TestWireDtype:
+    def test_wire_f16_matches_f32_within_quantization(self):
+        """wire_dtype=f16 halves tunnel bytes; host output must be f32 and
+        within f16 quantization of the exact wire."""
+        from ppmstereo_tpu.models.inference import SlidingWindowPredictor
+
+        def window_fn(left, right):
+            d = jnp.mean(jnp.abs(left - right), axis=-1, keepdims=True)
+            return d, jnp.zeros_like(d)
+
+        rng = np.random.default_rng(9)
+        video = rng.uniform(0, 255, (10, 2, 32, 32, 3)).astype(np.float32)
+
+        exact = SlidingWindowPredictor(window_fn, kernel_size=4)(video)
+        f16 = SlidingWindowPredictor(
+            window_fn, kernel_size=4, wire_dtype=jnp.float16
+        )(video)
+        assert f16["disparity"].dtype == np.float32
+        # values ~O(100) -> f16 ulp ~0.06
+        np.testing.assert_allclose(
+            f16["disparity"], exact["disparity"], rtol=1e-3, atol=0.1
+        )
+
+
+class TestWarmChaining:
+    def test_warm_seed_assembled_on_device(self):
+        """The warm seed must be [prev tail overlap frames, then the last
+        overlapping frame repeated] of the previous window's output —
+        verified with a probe model that echoes its flow_init."""
+        from ppmstereo_tpu.models.inference import SlidingWindowPredictor
+
+        def window_fn(left, right):
+            d = jnp.mean(left - right, axis=-1, keepdims=True)
+            return d, jnp.zeros_like(d)
+
+        def warm_fn(left, right, flow_init):
+            return flow_init, jnp.zeros_like(flow_init)
+
+        rng = np.random.default_rng(11)
+        video = rng.uniform(0, 255, (8, 2, 32, 32, 3)).astype(np.float32)
+
+        pred = SlidingWindowPredictor(
+            window_fn, kernel_size=4, warm_window_fn=warm_fn
+        )
+        out = pred(video)
+
+        # window0 = frames[0:4] cold; window1 (start 2) echoes its seed:
+        # seed = [w0[2], w0[3], w0[3], w0[3]]
+        w0 = np.mean(video[:4, 0] - video[:4, 1], -1, keepdims=True)
+        # stitched: w0[:3] + w1[1:3] + w2[1:] with k=4, stride=2
+        np.testing.assert_allclose(out["disparity"][:3], np.abs(w0[:3]),
+                                   rtol=1e-5, atol=1e-5)
+        # w1 seed frames 1:3 = [w0[3], w0[3]]
+        np.testing.assert_allclose(
+            out["disparity"][3], np.abs(w0[3]), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            out["disparity"][4], np.abs(w0[3]), rtol=1e-5, atol=1e-5
+        )
+
+
 class TestLearning:
     @pytest.mark.slow
     def test_loss_decreases_overfitting_one_batch(self):
