@@ -185,7 +185,40 @@ class SlidingWindowPredictor:
             jobs.append((i, wlen, dvideo[i:j, 0], dvideo[i:j, 1]))
 
         disp_parts, unc_parts = [], []
-        pending = []  # (start, wlen, disp, unc) device results, fetched lazily
+        pending = []  # (start, wlen, disp, unc) staged results, fetched lazily
+        wire = self.wire_dtype
+
+        def bounds(i: int, wlen: int) -> tuple[int, int]:
+            """Stitch-trim extents — same arithmetic as reference :296-307."""
+            if self.fast_mode:
+                # non-overlapping windows: every frame is kept untrimmed
+                return 0, 0
+            if i == 0:
+                # first window: trim the trailing stride//2 (reference :306)
+                return 0, stride // 2
+            if wlen < k:
+                return stride // 2, 0
+            return stride // 2, stride // 2
+
+        def stage(i, wlen, x):
+            """Trim+cast on device IMMEDIATELY after the window's dispatch
+            and start the device->host copy: the trim executes right
+            after its window in the device queue (not behind every later
+            window) and the copy crosses the ~15-25 MB/s tunnel while
+            later windows compute. Trimming is pure slicing (only kept
+            frames travel), so stitching stays bit-identical."""
+            if self.align_windows:
+                y = x  # alignment regresses on full windows on host
+            else:
+                lo, hi = bounds(i, wlen)
+                y = x[lo : x.shape[0] - hi] if hi else x[lo:]
+                if wire is not None:
+                    y = y.astype(wire)
+            try:
+                y.copy_to_host_async()
+            except Exception:  # noqa: BLE001 - best-effort prefetch only
+                pass
+            return y
 
         if self.warm_window_fn is not None:
             # warm-start mode: each window seeded by the last, chained on
@@ -199,7 +232,7 @@ class SlidingWindowPredictor:
                     ov = max(0, min(prev_start + prev_disp.shape[0] - i, wlen))
                     disp, unc = self._run_window_warm(lw, rw, prev_disp, ov)
                 prev_start, prev_disp = i, disp
-                pending.append((i, wlen, disp, unc))
+                pending.append((i, wlen, stage(i, wlen, disp), stage(i, wlen, unc)))
             jobs = []
 
         idx = 0
@@ -215,32 +248,22 @@ class SlidingWindowPredictor:
             if len(group) == 1:
                 i, wlen, lw, rw = group[0]
                 disp, unc = self._run_window(lw, rw)
-                pending.append((i, wlen, disp, unc))
+                pending.append((i, wlen, stage(i, wlen, disp), stage(i, wlen, unc)))
             else:
                 ls = jnp.stack([g[2] for g in group])
                 rs = jnp.stack([g[3] for g in group])
                 ds, us = self._run_window_batch(ls, rs)
                 for gi, (i, wlen, _, _) in enumerate(group):
-                    pending.append((i, wlen, ds[gi], us[gi]))
-
-        wire = self.wire_dtype
-
-        def trim(x, lo: int, hi: int):
-            """Slice [lo, len-hi) BEFORE the host fetch: slicing a device
-            array is a lazy device op, so only kept frames (and, with
-            wire_dtype set, narrower elements) cross the ~15-25 MB/s
-            tunnel; trimming is pure slicing so stitching stays
-            bit-identical to the reference arithmetic."""
-            y = x[lo : x.shape[0] - hi] if hi else x[lo:]
-            if wire is not None and not isinstance(y, np.ndarray):
-                y = y.astype(wire)
-            return y
+                    pending.append(
+                        (i, wlen, stage(i, wlen, ds[gi]), stage(i, wlen, us[gi]))
+                    )
 
         prev_disp = None
         prev_start = None
         for i, wlen, disp, unc in pending:
             if self.align_windows:
-                # alignment regresses on full overlapping windows on host
+                # alignment regresses on full overlapping windows on host,
+                # then trims here (staging left these windows untrimmed)
                 disp = np.asarray(disp)
                 unc = np.asarray(unc)
                 if prev_disp is not None:
@@ -249,18 +272,11 @@ class SlidingWindowPredictor:
                         a, b = scale_shift_align(prev_disp[-ov:], disp[:ov])
                         disp = a * disp + b
                 prev_disp, prev_start = disp, i
-            if self.fast_mode:
-                # non-overlapping windows: every frame is kept untrimmed
-                lo, hi = 0, 0
-            elif i == 0:
-                # first window: trim the trailing stride//2 (reference :306)
-                lo, hi = 0, stride // 2
-            elif wlen < k:
-                lo, hi = stride // 2, 0
-            else:
-                lo, hi = stride // 2, stride // 2
-            disp_parts.append(trim(disp, lo, hi))
-            unc_parts.append(trim(unc, lo, hi))
+                lo, hi = bounds(i, wlen)
+                disp = disp[lo : len(disp) - hi] if hi else disp[lo:]
+                unc = unc[lo : len(unc) - hi] if hi else unc[lo:]
+            disp_parts.append(disp)
+            unc_parts.append(unc)
 
         def assemble(parts):
             out = np.concatenate([np.asarray(p) for p in parts])
