@@ -280,7 +280,9 @@ class SlidingWindowPredictor:
 
         def assemble(parts):
             out = np.concatenate([np.asarray(p) for p in parts])
-            return np.abs(out.astype(np.float32) if wire is not None else out)
+            if wire is not None:
+                out = out.astype(np.float32)
+            return np.abs(out, out=out)  # in-place: no second 100+MB copy
 
         return {
             "disparity": assemble(disp_parts),

@@ -324,6 +324,35 @@ class TestWarmChaining:
             out["disparity"][4], np.abs(w0[3]), rtol=1e-5, atol=1e-5
         )
 
+    def test_warm_fast_zero_overlap_seed(self):
+        """fast_mode + warm: consecutive windows have zero overlap, so the
+        seed is the previous window's last frame repeated."""
+        from ppmstereo_tpu.models.inference import SlidingWindowPredictor
+
+        def window_fn(left, right):
+            d = jnp.mean(left - right, axis=-1, keepdims=True)
+            return d, jnp.zeros_like(d)
+
+        def warm_fn(left, right, flow_init):
+            return flow_init, jnp.zeros_like(flow_init)
+
+        rng = np.random.default_rng(13)
+        video = rng.uniform(0, 255, (8, 2, 32, 32, 3)).astype(np.float32)
+
+        pred = SlidingWindowPredictor(
+            window_fn, kernel_size=4, fast_mode=True, warm_window_fn=warm_fn
+        )
+        out = pred(video)
+        assert out["disparity"].shape == (8, 32, 32, 1)
+        w0 = np.mean(video[:4, 0] - video[:4, 1], -1, keepdims=True)
+        np.testing.assert_allclose(out["disparity"][:4], np.abs(w0),
+                                   rtol=1e-5, atol=1e-5)
+        # window1 (frames 4-7) echoes seed = w0[3] repeated
+        for f in range(4, 8):
+            np.testing.assert_allclose(
+                out["disparity"][f], np.abs(w0[3]), rtol=1e-5, atol=1e-5
+            )
+
 
 class TestLearning:
     @pytest.mark.slow
