@@ -189,16 +189,22 @@ class SlidingWindowPredictor:
         wire = self.wire_dtype
 
         def bounds(i: int, wlen: int) -> tuple[int, int]:
-            """Stitch-trim extents — same arithmetic as reference :296-307."""
+            """Stitch-trim extents — same arithmetic as reference :296-307.
+
+            NB the reference trims `[stride//2 : -stride//2]` and Python
+            floors the NEGATIVE division: -5//2 = -3, so the trailing trim
+            is ceil(stride/2), not stride//2 — that asymmetry is what
+            makes odd strides (kernel 10 -> stride 5) tile exactly."""
+            tail = (stride + 1) // 2  # == -(-stride // 2)
             if self.fast_mode:
                 # non-overlapping windows: every frame is kept untrimmed
                 return 0, 0
             if i == 0:
-                # first window: trim the trailing stride//2 (reference :306)
-                return 0, stride // 2
+                # first window: trim the trailing ceil(stride/2) (ref :306)
+                return 0, tail
             if wlen < k:
                 return stride // 2, 0
-            return stride // 2, stride // 2
+            return stride // 2, tail
 
         def stage(i, wlen, x):
             """Trim+cast on device IMMEDIATELY after the window's dispatch

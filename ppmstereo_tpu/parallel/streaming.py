@@ -128,17 +128,21 @@ class ParallelWindowPredictor:
             results[i] = (np.asarray(disp[0]), np.asarray(unc[0]))
 
         disp_parts, unc_parts = [], []
+        # trailing trim is ceil(stride/2): the reference slices
+        # [stride//2 : -stride//2] and Python floors -5//2 to -3 — the
+        # asymmetry that makes odd strides tile exactly
+        tail_trim = (stride + 1) // 2
         for i, wlen in wins:
             disp, unc = results[i]
             if i == 0:
-                disp_parts.append(disp[: -(stride // 2)])
-                unc_parts.append(unc[: -(stride // 2)])
+                disp_parts.append(disp[:-tail_trim])
+                unc_parts.append(unc[:-tail_trim])
             elif wlen < k:
                 disp_parts.append(disp[stride // 2 :])
                 unc_parts.append(unc[stride // 2 :])
             else:
-                disp_parts.append(disp[stride // 2 : -(stride // 2)])
-                unc_parts.append(unc[stride // 2 : -(stride // 2)])
+                disp_parts.append(disp[stride // 2 : -tail_trim])
+                unc_parts.append(unc[stride // 2 : -tail_trim])
 
         return {
             "disparity": np.abs(np.concatenate(disp_parts)),

@@ -264,6 +264,51 @@ class TestBatchedWindows:
         )
 
 
+class TestOddStrideStitch:
+    @pytest.mark.parametrize("k,n", [(4, 10), (10, 40), (10, 13), (6, 17)])
+    def test_stitch_tiles_exactly(self, k, n):
+        """Stitched output must hold each input frame EXACTLY once. The
+        reference slices [stride//2 : -stride//2] and Python floors the
+        negative division (-5//2 = -3), so odd strides (kernel 10 ->
+        stride 5) trim asymmetrically; getting this wrong emits more
+        output frames than input frames (dup/misaligned stitches)."""
+        from ppmstereo_tpu.models.inference import SlidingWindowPredictor
+
+        def window_fn(left, right):
+            # probe: every output frame = its global frame index
+            d = jnp.mean(left - right, axis=(-1, -2, -3), keepdims=True)
+            d = jnp.broadcast_to(d, (*left.shape[:-1], 1))
+            return d, jnp.zeros_like(d)
+
+        video = np.zeros((n, 2, 32, 32, 3), np.float32)
+        video[:, 0] = np.arange(n, dtype=np.float32)[:, None, None, None]
+
+        out = SlidingWindowPredictor(window_fn, kernel_size=k)(video)
+        got = out["disparity"][:, 0, 0, 0]
+        np.testing.assert_allclose(got, np.arange(n, dtype=np.float32),
+                                   rtol=0, atol=1e-5)
+
+    def test_odd_stride_matches_reference_arithmetic(self):
+        """Pin the exact per-window slices to the reference's negative
+        floor-division semantics (ppmstereo.py:296-307) for k=10."""
+        k, stride, n = 10, 5, 40
+        parts = []
+        first = True
+        for i in range(0, n, stride):
+            wlen = min(i + k, n) - i
+            if not first and wlen < stride:
+                continue
+            frames = np.arange(i, i + wlen)
+            if first:
+                parts.append(frames[: -stride // 2])  # -5//2 == -3
+                first = False
+            elif wlen < k:
+                parts.append(frames[stride // 2 :])
+            else:
+                parts.append(frames[stride // 2 : -stride // 2])
+        np.testing.assert_array_equal(np.concatenate(parts), np.arange(n))
+
+
 class TestWireDtype:
     def test_wire_f16_matches_f32_within_quantization(self):
         """wire_dtype=f16 halves tunnel bytes; host output must be f32 and
