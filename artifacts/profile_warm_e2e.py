@@ -56,33 +56,39 @@ def main():
     jax.block_until_ready(dvideo)
     mark("upload video (226 MB uint8)", t0)
 
+    # the REAL warm schedule for 40 frames at k=20/stride=10:
+    # windows i = 0, 10, 20, 30 (the i=30 window has wlen=10 == stride and
+    # is kept per the reference's tail rule); trims (0,5),(5,5),(5,5),(5,0)
+    from ppmstereo_tpu.models.inference import window_trim_bounds
+
     outs = []
-    t0 = time.perf_counter()
-    d0, u0 = pred._run_window(dvideo[0:20, 0], dvideo[0:20, 1])
-    jax.block_until_ready(d0)
-    mark("window0 cold (blocked)", t0)
-    outs.append((0, d0, u0))
-
-    t0 = time.perf_counter()
-    d1, u1 = pred._run_window_warm(dvideo[10:30, 0], dvideo[10:30, 1], d0, 10)
-    jax.block_until_ready(d1)
-    mark("window1 warm (blocked)", t0)
-    outs.append((10, d1, u1))
-
-    t0 = time.perf_counter()
-    d2, u2 = pred._run_window_warm(dvideo[20:40, 0], dvideo[20:40, 1], d1, 10)
-    jax.block_until_ready(d2)
-    mark("window2 warm (blocked)", t0)
-    outs.append((20, d2, u2))
-
-    trims = [(0, 15), (5, 15), (5, 20)]
-    for (i, d, u), (lo, hi) in zip(outs, trims):
+    prev = None
+    for i in (0, 10, 20, 30):
+        j = min(i + k, len(video))
+        lw, rw = dvideo[i:j, 0], dvideo[i:j, 1]
         t0 = time.perf_counter()
-        a = np.asarray(d[lo:hi])
-        mark(f"fetch disp[{lo}:{hi}] win@{i} ({a.nbytes / 1e6:.0f} MB)", t0)
+        if prev is None:
+            d, u = pred._run_window(lw, rw)
+        else:
+            ov = max(0, min(outs[-1][0] + prev.shape[0] - i, j - i))
+            d, u = pred._run_window_warm(lw, rw, prev, ov)
+        jax.block_until_ready(d)
+        mark(f"window@{i} t={j - i} {'cold' if prev is None else 'warm'}"
+             " (blocked)", t0)
+        prev = d
+        outs.append((i, j - i, d, u))
+
+    for i, wlen, d, u in outs:
+        lo, hi = window_trim_bounds(i, wlen, k, stride)
+        sl = slice(lo, wlen - hi if hi else wlen)
         t0 = time.perf_counter()
-        b = np.asarray(u[lo:hi])
-        mark(f"fetch unc[{lo}:{hi}] win@{i} ({b.nbytes / 1e6:.0f} MB)", t0)
+        a = np.asarray(d[sl])
+        mark(f"fetch disp[{sl.start}:{sl.stop}] win@{i} "
+             f"({a.nbytes / 1e6:.0f} MB)", t0)
+        t0 = time.perf_counter()
+        b = np.asarray(u[sl])
+        mark(f"fetch unc[{sl.start}:{sl.stop}] win@{i} "
+             f"({b.nbytes / 1e6:.0f} MB)", t0)
 
     total = time.perf_counter() - t_all
     print(f"replay total: {total:.2f}s -> {40 / total:.3f} fps", flush=True)

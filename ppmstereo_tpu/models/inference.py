@@ -25,6 +25,31 @@ import numpy as np
 from ppmstereo_tpu.ops.padding import InputPadder
 
 
+def window_trim_bounds(
+    i: int, wlen: int, k: int, stride: int, fast_mode: bool = False
+) -> tuple[int, int]:
+    """Stitch-trim extents (lo, hi) for the window starting at frame i —
+    the single source of truth for the reference's arithmetic
+    (ppmstereo.py:296-307), shared by the sequential and mesh-parallel
+    predictors.
+
+    NB the reference trims `[stride//2 : -stride//2]` and Python floors
+    the NEGATIVE division: -5//2 = -3, so the trailing trim is
+    ceil(stride/2), not stride//2 — that asymmetry is what makes odd
+    strides (kernel 10 -> stride 5) tile exactly.
+    """
+    tail = (stride + 1) // 2  # == -(-stride // 2)
+    if fast_mode:
+        # non-overlapping windows: every frame is kept untrimmed
+        return 0, 0
+    if i == 0:
+        # first window: trim the trailing ceil(stride/2) (ref :306)
+        return 0, tail
+    if wlen < k:
+        return stride // 2, 0
+    return stride // 2, tail
+
+
 def scale_shift_align(prev_overlap: np.ndarray, new_overlap: np.ndarray):
     """Least-squares (scale, shift) aligning `new` onto `prev` over the
     shared frames — the Video-Depth-Anything keyframe alignment pattern
@@ -62,6 +87,7 @@ class SlidingWindowPredictor:
         batch_windows: int = 1,
         warm_window_fn: Callable | None = None,
         wire_dtype=None,
+        max_inflight_windows: int = 8,
     ):
         """fast_mode=True runs non-overlapping windows (stride ==
         kernel_size, no edge trimming) — ~2x throughput over the
@@ -89,7 +115,13 @@ class SlidingWindowPredictor:
         wire_dtype (e.g. jnp.float16) casts outputs on device before the
         host fetch — halves tunnel download bytes; results are upcast to
         float32 on host. None (default) keeps the exact f32 wire format
-        (strict parity)."""
+        (strict parity). Ignored when align_windows=True (the alignment
+        regression needs full-precision full windows on host).
+
+        max_inflight_windows bounds how many windows' staged outputs may
+        live on device at once: the oldest is materialized to host when
+        the bound is hit, so arbitrarily long videos run in O(bound)
+        output HBM instead of O(video length)."""
         self.window_fn = window_fn
         self.warm_window_fn = warm_window_fn
         self.kernel_size = kernel_size
@@ -98,6 +130,7 @@ class SlidingWindowPredictor:
         self.fast_mode = fast_mode
         self.batch_windows = max(1, batch_windows)
         self.wire_dtype = wire_dtype
+        self.max_inflight_windows = max(1, max_inflight_windows)
         self._jitted: dict[tuple, Callable] = {}
 
     def _run_window(self, left: jax.Array, right: jax.Array):
@@ -189,22 +222,7 @@ class SlidingWindowPredictor:
         wire = self.wire_dtype
 
         def bounds(i: int, wlen: int) -> tuple[int, int]:
-            """Stitch-trim extents — same arithmetic as reference :296-307.
-
-            NB the reference trims `[stride//2 : -stride//2]` and Python
-            floors the NEGATIVE division: -5//2 = -3, so the trailing trim
-            is ceil(stride/2), not stride//2 — that asymmetry is what
-            makes odd strides (kernel 10 -> stride 5) tile exactly."""
-            tail = (stride + 1) // 2  # == -(-stride // 2)
-            if self.fast_mode:
-                # non-overlapping windows: every frame is kept untrimmed
-                return 0, 0
-            if i == 0:
-                # first window: trim the trailing ceil(stride/2) (ref :306)
-                return 0, tail
-            if wlen < k:
-                return stride // 2, 0
-            return stride // 2, tail
+            return window_trim_bounds(i, wlen, k, stride, self.fast_mode)
 
         def stage(i, wlen, x):
             """Trim+cast on device IMMEDIATELY after the window's dispatch
@@ -226,6 +244,21 @@ class SlidingWindowPredictor:
                 pass
             return y
 
+        n_drained = 0
+
+        def append_and_drain(entry):
+            """Bound device-resident output buffers: past
+            max_inflight_windows staged windows, materialize the oldest
+            to host (blocks only on data already produced, so later
+            windows keep computing) — long videos run in O(bound) output
+            HBM instead of O(video length)."""
+            nonlocal n_drained
+            pending.append(entry)
+            while len(pending) - n_drained > self.max_inflight_windows:
+                i, wlen, d, u = pending[n_drained]
+                pending[n_drained] = (i, wlen, np.asarray(d), np.asarray(u))
+                n_drained += 1
+
         if self.warm_window_fn is not None:
             # warm-start mode: each window seeded by the last, chained on
             # device — dispatches enqueue without host syncs and fetches
@@ -238,7 +271,9 @@ class SlidingWindowPredictor:
                     ov = max(0, min(prev_start + prev_disp.shape[0] - i, wlen))
                     disp, unc = self._run_window_warm(lw, rw, prev_disp, ov)
                 prev_start, prev_disp = i, disp
-                pending.append((i, wlen, stage(i, wlen, disp), stage(i, wlen, unc)))
+                append_and_drain(
+                    (i, wlen, stage(i, wlen, disp), stage(i, wlen, unc))
+                )
             jobs = []
 
         idx = 0
@@ -254,13 +289,15 @@ class SlidingWindowPredictor:
             if len(group) == 1:
                 i, wlen, lw, rw = group[0]
                 disp, unc = self._run_window(lw, rw)
-                pending.append((i, wlen, stage(i, wlen, disp), stage(i, wlen, unc)))
+                append_and_drain(
+                    (i, wlen, stage(i, wlen, disp), stage(i, wlen, unc))
+                )
             else:
                 ls = jnp.stack([g[2] for g in group])
                 rs = jnp.stack([g[3] for g in group])
                 ds, us = self._run_window_batch(ls, rs)
                 for gi, (i, wlen, _, _) in enumerate(group):
-                    pending.append(
+                    append_and_drain(
                         (i, wlen, stage(i, wlen, ds[gi]), stage(i, wlen, us[gi]))
                     )
 
@@ -285,9 +322,11 @@ class SlidingWindowPredictor:
             unc_parts.append(unc)
 
         def assemble(parts):
-            out = np.concatenate([np.asarray(p) for p in parts])
-            if wire is not None:
-                out = out.astype(np.float32)
+            # per-part upcast: no-op for parts already f32 (align path,
+            # host-drained f32 wire), f16->f32 for narrow-wire parts
+            out = np.concatenate(
+                [np.asarray(p, dtype=np.float32) for p in parts]
+            )
             return np.abs(out, out=out)  # in-place: no second 100+MB copy
 
         return {

@@ -69,7 +69,11 @@ def two_tap_resize_1d(
         return x
     axis = axis % x.ndim
     if not jnp.issubdtype(x.dtype, jnp.floating):
-        raise TypeError(f"linear resize needs a float dtype, got {x.dtype}")
+        # integer/bool inputs: lerp in f32, cast back (the matrix path
+        # requires a float contraction dtype)
+        return two_tap_resize_1d(
+            x.astype(jnp.float32), axis, out_size, align_corners
+        ).astype(x.dtype)
     mat = _resize_matrix(in_size, out_size, align_corners)
     y = jax.lax.dot_general(
         x,

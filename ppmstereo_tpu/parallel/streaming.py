@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ppmstereo_tpu.models.inference import window_trim_bounds
 from ppmstereo_tpu.ops.padding import InputPadder
 
 
@@ -128,21 +129,11 @@ class ParallelWindowPredictor:
             results[i] = (np.asarray(disp[0]), np.asarray(unc[0]))
 
         disp_parts, unc_parts = [], []
-        # trailing trim is ceil(stride/2): the reference slices
-        # [stride//2 : -stride//2] and Python floors -5//2 to -3 — the
-        # asymmetry that makes odd strides tile exactly
-        tail_trim = (stride + 1) // 2
         for i, wlen in wins:
             disp, unc = results[i]
-            if i == 0:
-                disp_parts.append(disp[:-tail_trim])
-                unc_parts.append(unc[:-tail_trim])
-            elif wlen < k:
-                disp_parts.append(disp[stride // 2 :])
-                unc_parts.append(unc[stride // 2 :])
-            else:
-                disp_parts.append(disp[stride // 2 : -tail_trim])
-                unc_parts.append(unc[stride // 2 : -tail_trim])
+            lo, hi = window_trim_bounds(i, wlen, k, stride)
+            disp_parts.append(disp[lo : len(disp) - hi] if hi else disp[lo:])
+            unc_parts.append(unc[lo : len(unc) - hi] if hi else unc[lo:])
 
         return {
             "disparity": np.abs(np.concatenate(disp_parts)),

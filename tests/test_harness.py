@@ -156,29 +156,29 @@ class TestCheckpoints:
 
 
 class TestParallelStreaming:
-    def test_parallel_windows_match_sequential(self):
+    @pytest.mark.parametrize("k,n", [(4, 10), (10, 23)])
+    def test_parallel_windows_match_sequential(self, k, n):
         """Mesh-parallel window streaming must produce identical stitching
-        to the sequential driver."""
-        import jax
-        from jax.sharding import Mesh
-
+        to the sequential driver — incl. odd strides (k=10 -> stride 5,
+        the asymmetric ceil(stride/2) trailing trim)."""
         from ppmstereo_tpu.models.inference import SlidingWindowPredictor
         from ppmstereo_tpu.parallel.mesh import MeshSpec, make_mesh
         from ppmstereo_tpu.parallel.streaming import ParallelWindowPredictor
 
         rng = np.random.default_rng(7)
-        video = rng.uniform(0, 255, (10, 2, 32, 32, 3)).astype(np.float32)
+        video = rng.uniform(0, 255, (n, 2, 32, 32, 3)).astype(np.float32)
 
         def window_fn(left, right):
             # deterministic fake "model": disparity = mean(|L-R|) per pixel
             d = jnp.mean(jnp.abs(left - right), axis=-1, keepdims=True)
             return d, jnp.zeros_like(d)
 
-        seq = SlidingWindowPredictor(window_fn, kernel_size=4)
+        seq = SlidingWindowPredictor(window_fn, kernel_size=k)
         out_seq = seq(video)
+        assert out_seq["disparity"].shape[0] == n
 
         mesh = make_mesh(MeshSpec(data=2, seq=1, space=1))
-        par = ParallelWindowPredictor(window_fn, mesh, kernel_size=4)
+        par = ParallelWindowPredictor(window_fn, mesh, kernel_size=k)
         out_par = par(video)
 
         assert out_seq["disparity"].shape == out_par["disparity"].shape
@@ -287,6 +287,24 @@ class TestOddStrideStitch:
         got = out["disparity"][:, 0, 0, 0]
         np.testing.assert_allclose(got, np.arange(n, dtype=np.float32),
                                    rtol=0, atol=1e-5)
+
+    def test_bounded_inflight_matches_unbounded(self):
+        """max_inflight_windows drains staged outputs to host early; the
+        stitched result must be identical."""
+        from ppmstereo_tpu.models.inference import SlidingWindowPredictor
+
+        def window_fn(left, right):
+            d = jnp.mean(jnp.abs(left - right), axis=-1, keepdims=True)
+            return d, jnp.zeros_like(d)
+
+        rng = np.random.default_rng(17)
+        video = rng.uniform(0, 255, (16, 2, 32, 32, 3)).astype(np.float32)
+        base = SlidingWindowPredictor(window_fn, kernel_size=4)(video)
+        tight = SlidingWindowPredictor(
+            window_fn, kernel_size=4, max_inflight_windows=1
+        )(video)
+        np.testing.assert_allclose(tight["disparity"], base["disparity"],
+                                   rtol=0, atol=0)
 
     def test_odd_stride_matches_reference_arithmetic(self):
         """Pin the exact per-window slices to the reference's negative

@@ -66,6 +66,19 @@ class TestGeometry:
                 rtol=1e-5, atol=1e-5,
             )
 
+    def test_resize_integer_dtype_falls_back(self):
+        """Non-float inputs resize via an f32 lerp + cast back (the old
+        gather path accepted them; the matrix path must too)."""
+        x = jnp.arange(12, dtype=jnp.int32).reshape(1, 3, 4, 1)
+        got = interp_bilinear(x, (6, 8))
+        assert got.dtype == jnp.int32 and got.shape == (1, 6, 8, 1)
+        # the fallback truncates after EACH axis pass (<=1 per pass), so
+        # it can differ from the all-float result by just under 2
+        want = interp_bilinear(x.astype(jnp.float32), (6, 8))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2.0
+        )
+
     def test_interp_lowering_is_gather_free(self):
         """Resizes must lower to contractions, not gathers: the GSPMD
         partitioner reshards static-index gathers by full rematerialization
