@@ -88,6 +88,7 @@ class SlidingWindowPredictor:
         warm_window_fn: Callable | None = None,
         wire_dtype=None,
         max_inflight_windows: int = 8,
+        fetch_uncertainty: bool = True,
     ):
         """fast_mode=True runs non-overlapping windows (stride ==
         kernel_size, no edge trimming) — ~2x throughput over the
@@ -121,7 +122,16 @@ class SlidingWindowPredictor:
         max_inflight_windows bounds how many windows' staged outputs may
         live on device at once: the oldest is materialized to host when
         the bound is hit, so arbitrarily long videos run in O(bound)
-        output HBM instead of O(video length)."""
+        output HBM instead of O(video length).
+
+        fetch_uncertainty=False drops the "uncertainties" output: the
+        final 4x uncertainty upsample is dead-code-eliminated on device
+        (the in-loop uncertainty head still runs — it feeds the PPM pick
+        scores) and its wire copy is skipped, halving the download bytes.
+        The disparity stream is bit-identical either way; consumers that
+        only read disparity (the evaluator, the bench) should pass False.
+        Default True keeps the reference's two-output contract
+        (ppmstereo.py:309-310)."""
         self.window_fn = window_fn
         self.warm_window_fn = warm_window_fn
         self.kernel_size = kernel_size
@@ -131,10 +141,25 @@ class SlidingWindowPredictor:
         self.batch_windows = max(1, batch_windows)
         self.wire_dtype = wire_dtype
         self.max_inflight_windows = max(1, max_inflight_windows)
+        self.fetch_uncertainty = fetch_uncertainty
         self._jitted: dict[tuple, Callable] = {}
 
+    @property
+    def output_names(self) -> tuple[str, ...]:
+        return (
+            ("disparity", "uncertainties")
+            if self.fetch_uncertainty
+            else ("disparity",)
+        )
+
+    def _keep(self, outs):
+        """Slice a window function's (disp, unc) to the fetched outputs —
+        inside jit, so dropped outputs are dead-code-eliminated."""
+        return tuple(outs) if self.fetch_uncertainty else (outs[0],)
+
     def _run_window(self, left: jax.Array, right: jax.Array):
-        """left/right: (T, H, W, 3). Returns (disp, unc): (T, H, W, 1)."""
+        """left/right: (T, H, W, 3). Returns a tuple of (T, H, W, 1)
+        outputs (disparity [, uncertainty])."""
         t, h, w, _ = left.shape
         key = (t, h, w)
         if key not in self._jitted:
@@ -142,8 +167,8 @@ class SlidingWindowPredictor:
 
             def fn(l, r):
                 lp, rp = padder.pad(l, r)
-                disp, unc = self.window_fn(lp[None], rp[None])
-                return padder.unpad(disp[0]), padder.unpad(unc[0])
+                outs = self._keep(self.window_fn(lp[None], rp[None]))
+                return tuple(padder.unpad(o[0]) for o in outs)
 
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key](left, right)
@@ -165,14 +190,17 @@ class SlidingWindowPredictor:
                 fi = jnp.concatenate([prev[prev_len - ov :], tail]) if ov else tail
                 lp, rp = padder.pad(l, r)
                 (fip,) = padder.pad(fi.astype(jnp.float32))
-                disp, unc = self.warm_window_fn(lp[None], rp[None], fip[None])
-                return padder.unpad(disp[0]), padder.unpad(unc[0])
+                outs = self._keep(
+                    self.warm_window_fn(lp[None], rp[None], fip[None])
+                )
+                return tuple(padder.unpad(o[0]) for o in outs)
 
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key](left, right, prev_disp)
 
     def _run_window_batch(self, lefts: jax.Array, rights: jax.Array):
-        """lefts/rights: (B, T, H, W, 3). Returns (disp, unc): (B, T, H, W, 1)."""
+        """lefts/rights: (B, T, H, W, 3). Returns a tuple of
+        (B, T, H, W, 1) outputs (disparity [, uncertainty])."""
         bsz, t, h, w, _ = lefts.shape
         key = ("batch", bsz, t, h, w)
         if key not in self._jitted:
@@ -180,8 +208,8 @@ class SlidingWindowPredictor:
 
             def fn(ls, rs):
                 lp, rp = padder.pad(ls, rs)
-                disp, unc = self.window_fn(lp, rp)
-                return padder.unpad(disp), padder.unpad(unc)
+                outs = self._keep(self.window_fn(lp, rp))
+                return tuple(padder.unpad(o) for o in outs)
 
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key](lefts, rights)
@@ -189,8 +217,9 @@ class SlidingWindowPredictor:
     def __call__(self, stereo_video) -> dict[str, np.ndarray]:
         """stereo_video: (N, 2, H, W, 3) in [0, 255] (numpy or jax).
 
-        Returns {"disparity": (N, H, W, 1), "uncertainties": (N, H, W, 1)}
-        as numpy, disparity as absolute values (reference :309-310).
+        Returns {"disparity": (N, H, W, 1)[, "uncertainties": like it]}
+        as numpy, disparity as absolute values (reference :309-310);
+        "uncertainties" present iff fetch_uncertainty.
         """
         video = np.asarray(stereo_video)
         num_ims = len(video)
@@ -203,10 +232,10 @@ class SlidingWindowPredictor:
         dvideo = jnp.asarray(video)
 
         if k > num_ims:
-            disp, unc = self._run_window(dvideo[:, 0], dvideo[:, 1])
+            outs = self._run_window(dvideo[:, 0], dvideo[:, 1])
             return {
-                "disparity": np.abs(np.asarray(disp)),
-                "uncertainties": np.abs(np.asarray(unc)),
+                nm: np.abs(np.asarray(o))
+                for nm, o in zip(self.output_names, outs)
             }
 
         jobs = []  # (start, wlen, left_frames, right_frames) device slices
@@ -217,8 +246,7 @@ class SlidingWindowPredictor:
                 continue  # reference skips tails shorter than a stride
             jobs.append((i, wlen, dvideo[i:j, 0], dvideo[i:j, 1]))
 
-        disp_parts, unc_parts = [], []
-        pending = []  # (start, wlen, disp, unc) staged results, fetched lazily
+        pending = []  # (start, wlen, staged-output tuple), fetched lazily
         wire = self.wire_dtype
 
         def bounds(i: int, wlen: int) -> tuple[int, int]:
@@ -255,8 +283,10 @@ class SlidingWindowPredictor:
             nonlocal n_drained
             pending.append(entry)
             while len(pending) - n_drained > self.max_inflight_windows:
-                i, wlen, d, u = pending[n_drained]
-                pending[n_drained] = (i, wlen, np.asarray(d), np.asarray(u))
+                i, wlen, outs = pending[n_drained]
+                pending[n_drained] = (
+                    i, wlen, tuple(np.asarray(o) for o in outs)
+                )
                 n_drained += 1
 
         if self.warm_window_fn is not None:
@@ -266,13 +296,13 @@ class SlidingWindowPredictor:
             prev_start, prev_disp = None, None
             for i, wlen, lw, rw in jobs:
                 if prev_disp is None:
-                    disp, unc = self._run_window(lw, rw)
+                    outs = self._run_window(lw, rw)
                 else:
                     ov = max(0, min(prev_start + prev_disp.shape[0] - i, wlen))
-                    disp, unc = self._run_window_warm(lw, rw, prev_disp, ov)
-                prev_start, prev_disp = i, disp
+                    outs = self._run_window_warm(lw, rw, prev_disp, ov)
+                prev_start, prev_disp = i, outs[0]
                 append_and_drain(
-                    (i, wlen, stage(i, wlen, disp), stage(i, wlen, unc))
+                    (i, wlen, tuple(stage(i, wlen, o) for o in outs))
                 )
             jobs = []
 
@@ -288,48 +318,50 @@ class SlidingWindowPredictor:
             idx += len(group)
             if len(group) == 1:
                 i, wlen, lw, rw = group[0]
-                disp, unc = self._run_window(lw, rw)
+                outs = self._run_window(lw, rw)
                 append_and_drain(
-                    (i, wlen, stage(i, wlen, disp), stage(i, wlen, unc))
+                    (i, wlen, tuple(stage(i, wlen, o) for o in outs))
                 )
             else:
                 ls = jnp.stack([g[2] for g in group])
                 rs = jnp.stack([g[3] for g in group])
-                ds, us = self._run_window_batch(ls, rs)
+                bouts = self._run_window_batch(ls, rs)
                 for gi, (i, wlen, _, _) in enumerate(group):
                     append_and_drain(
-                        (i, wlen, stage(i, wlen, ds[gi]), stage(i, wlen, us[gi]))
+                        (i, wlen, tuple(stage(i, wlen, o[gi]) for o in bouts))
                     )
 
+        parts = [[] for _ in self.output_names]
         prev_disp = None
         prev_start = None
-        for i, wlen, disp, unc in pending:
+        for i, wlen, outs in pending:
             if self.align_windows:
                 # alignment regresses on full overlapping windows on host,
                 # then trims here (staging left these windows untrimmed)
-                disp = np.asarray(disp)
-                unc = np.asarray(unc)
+                outs = [np.asarray(o) for o in outs]
+                disp = outs[0]
                 if prev_disp is not None:
                     ov = prev_start + len(prev_disp) - i
                     if ov > 0:
                         a, b = scale_shift_align(prev_disp[-ov:], disp[:ov])
-                        disp = a * disp + b
+                        outs[0] = disp = a * disp + b
                 prev_disp, prev_start = disp, i
                 lo, hi = bounds(i, wlen)
-                disp = disp[lo : len(disp) - hi] if hi else disp[lo:]
-                unc = unc[lo : len(unc) - hi] if hi else unc[lo:]
-            disp_parts.append(disp)
-            unc_parts.append(unc)
+                outs = [
+                    (o[lo : len(o) - hi] if hi else o[lo:]) for o in outs
+                ]
+            for dst, o in zip(parts, outs):
+                dst.append(o)
 
-        def assemble(parts):
+        def assemble(plist):
             # per-part upcast: no-op for parts already f32 (align path,
             # host-drained f32 wire), f16->f32 for narrow-wire parts
             out = np.concatenate(
-                [np.asarray(p, dtype=np.float32) for p in parts]
+                [np.asarray(p, dtype=np.float32) for p in plist]
             )
             return np.abs(out, out=out)  # in-place: no second 100+MB copy
 
         return {
-            "disparity": assemble(disp_parts),
-            "uncertainties": assemble(unc_parts),
+            nm: assemble(plist)
+            for nm, plist in zip(self.output_names, parts)
         }

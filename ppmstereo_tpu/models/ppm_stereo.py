@@ -96,6 +96,18 @@ class PPMStereoConfig:
     # (activation memory: O(1) iterations instead of O(iters) — the
     # jax.checkpoint analog of the reference's 48GB-GPU requirement)
     remat: bool = True
+    # Unroll the refinement loop as a Python loop instead of nn.scan.
+    # Parameters and numerics are identical; compile time grows with
+    # `iters`. Exists because the Shardy partitioner (JAX 0.9 default)
+    # miscompiles lax.scan bodies whose operands are sharded on two mesh
+    # axes at once (O(1)-wrong values; minimal upstream repro in
+    # artifacts/shardy_repro.py) — the unrolled model is exact under
+    # Shardy (tests/test_sharding.py::test_seq_space_sharded_unrolled_
+    # forward_exact_under_shardy). Default False: single-axis meshes are
+    # Shardy-exact with the scan, and multi-axis meshes pin the classic
+    # GSPMD partitioner (parallel/mesh.py) which compiles the scan
+    # correctly.
+    unroll_refinement_loop: bool = False
 
     @property
     def dtype(self):
@@ -280,12 +292,26 @@ class PPMUpdateLoop(nn.Module):
             # only training needs the backward pass; prevent_cse is safe
             # inside scan
             body = nn.remat(step, prevent_cse=False)
-        scan = nn.scan(
-            body,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            length=self.iters,
-        )
+        if cfg.unroll_refinement_loop:
+            # Shardy-safe unrolled loop: numerically identical to the
+            # scan (same body, same params), no lax.scan primitive
+            def scan(module, init, _):
+                carry, ys = init, []
+                for _ in range(self.iters):
+                    carry, y = body(module, carry, None)
+                    ys.append(y)
+                if ys and ys[0] is not None:
+                    ys = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *ys)
+                else:
+                    ys = None
+                return carry, ys
+        else:
+            scan = nn.scan(
+                body,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                length=self.iters,
+            )
         if self.collect_preds:
             init = (flow, net, motion_hidden, strive, mask0, unc0)
             carry, ys = scan(self, init, None)

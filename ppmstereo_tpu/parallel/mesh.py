@@ -38,17 +38,19 @@ class MeshSpec:
 
 
 def _disable_shardy_partitioner():
-    """Work around a Shardy partitioner miscompile (JAX 0.9 default).
+    """Work around a Shardy partitioner miscompile (JAX 0.9 default),
+    applied to MULTI-AXIS meshes only.
 
-    The scanned PPM refinement loop produces wrong values (O(1) error,
-    uniform over all positions) when BOTH the seq and space mesh axes are
-    >1 and the loop is a lax.scan: unrolling the loop, or switching to
-    the classic GSPMD partitioner, is exact to 6e-7. Root-caused by
-    bisection in artifacts/bisect_shard*.py (single-device model is
-    NOT chaotic — 1e-6 input noise -> 1e-6 output change — so this is a
-    partitioner bug, not reduction-order noise). Classic GSPMD is
-    deprecated but correct on this program; revisit when Shardy fixes
-    land.
+    Root cause (round-3 bisection, minimal upstream repro in
+    artifacts/shardy_repro.py): Shardy miscompiles a lax.scan whose body
+    contains a K-tap SAME convolution when the conv operand is sharded on
+    TWO mesh axes at once (O(1)-wrong values; trigger is cost-model
+    dependent — appears at 128 channels, not at 16). Single-axis
+    shardings are exact, and the same model with the loop unrolled to a
+    Python loop is exact under Shardy
+    (PPMStereoConfig.unroll_refinement_loop). Classic GSPMD is deprecated
+    but compiles the scan correctly on every tested shape
+    (tests/test_sharding.py); revisit when Shardy fixes land.
     """
     try:
         jax.config.update("jax_use_shardy_partitioner", False)
@@ -57,19 +59,26 @@ def _disable_shardy_partitioner():
         # applies and the partitioner that miscompiled the scanned loop
         # may be back on. tests/test_sharding.py asserts exact seq+space
         # parity and will catch a regression — do not silence this.
+        # Escape hatch if that day comes before upstream fixes land:
+        # build models with cfg.unroll_refinement_loop=True (Shardy-exact).
         import warnings
 
         warnings.warn(
             "jax_use_shardy_partitioner flag no longer exists: the Shardy "
             "miscompile workaround (parallel/mesh.py) is inert. Run "
-            "tests/test_sharding.py before trusting multi-axis meshes.",
+            "tests/test_sharding.py before trusting multi-axis meshes, "
+            "or set PPMStereoConfig.unroll_refinement_loop=True.",
             RuntimeWarning,
             stacklevel=2,
         )
 
 
 def make_mesh(spec: MeshSpec | None = None, devices=None) -> Mesh:
-    _disable_shardy_partitioner()
+    if spec is not None and sum(s > 1 for s in (spec.data, spec.seq, spec.space)) > 1:
+        # single-axis meshes (plain DP, seq-only, space-only) are exact
+        # under Shardy and keep the supported default partitioner; only
+        # multi-axis shardings hit the scan miscompile
+        _disable_shardy_partitioner()
     devices = devices if devices is not None else jax.devices()
     if spec is None:
         spec = MeshSpec(data=len(devices))

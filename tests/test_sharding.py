@@ -16,6 +16,8 @@ tests run at tight tolerances and act as the regression gate for
 re-enabling it.
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -114,4 +116,50 @@ def test_seq_space_sharded_forward_exact():
     assert np.isfinite(np.asarray(disp)).all()
     np.testing.assert_allclose(
         np.asarray(disp), np.asarray(disp_ref), rtol=1e-4, atol=1e-4
+    )
+
+
+@pytest.mark.slow
+def test_seq_space_sharded_unrolled_forward_exact_under_shardy():
+    """The Shardy-native formulation: with the refinement loop unrolled
+    (cfg.unroll_refinement_loop — no lax.scan in the forward), the
+    seq+space sharded model is exact UNDER SHARDY, the JAX 0.9 default
+    partitioner. This is the escape hatch for the day the deprecated
+    classic-GSPMD flag disappears; the scan-based model under Shardy
+    diverges to ~1.6e-1 (minimal upstream repro:
+    artifacts/shardy_repro.py)."""
+    from jax.sharding import Mesh
+
+    prev = jax.config.jax_use_shardy_partitioner
+    try:
+        jax.config.update("jax_use_shardy_partitioner", True)
+        cfg_unrolled = dataclasses.replace(CFG, unroll_refinement_loop=True)
+        left, right = _clip()
+        model = PPMStereo(cfg=cfg_unrolled, iters=2, test_mode=True)
+        params = model.init(jax.random.PRNGKey(0), left, right)
+        disp_ref, _ = jax.jit(model.apply)(params, left, right)
+
+        devs = np.asarray(jax.devices()[:4]).reshape(1, 2, 2)
+        mesh = Mesh(devs, axis_names=("data", "seq", "space"))
+        disp, _ = _run(model, params, left, right, mesh, P(None, "seq", "space"))
+        np.testing.assert_allclose(
+            np.asarray(disp), np.asarray(disp_ref), rtol=1e-4, atol=1e-4
+        )
+    finally:
+        jax.config.update("jax_use_shardy_partitioner", prev)
+
+
+def test_unrolled_loop_matches_scan():
+    """cfg.unroll_refinement_loop is numerically identical to the scan
+    (same body, same params) on a single device."""
+    left, right = _clip()
+    model = PPMStereo(cfg=CFG, iters=2, test_mode=True)
+    params = model.init(jax.random.PRNGKey(0), left, right)
+    disp_scan, _ = jax.jit(model.apply)(params, left, right)
+
+    cfg_unrolled = dataclasses.replace(CFG, unroll_refinement_loop=True)
+    model_u = PPMStereo(cfg=cfg_unrolled, iters=2, test_mode=True)
+    disp_unrolled, _ = jax.jit(model_u.apply)(params, left, right)
+    np.testing.assert_allclose(
+        np.asarray(disp_unrolled), np.asarray(disp_scan), rtol=1e-6, atol=1e-6
     )
