@@ -21,6 +21,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ppmstereo_tpu.ops.padding import InputPadder
 
@@ -89,6 +90,7 @@ class SlidingWindowPredictor:
         wire_dtype=None,
         max_inflight_windows: int = 8,
         fetch_uncertainty: bool = True,
+        mesh: Mesh | None = None,
     ):
         """fast_mode=True runs non-overlapping windows (stride ==
         kernel_size, no edge trimming) — ~2x throughput over the
@@ -131,7 +133,23 @@ class SlidingWindowPredictor:
         The disparity stream is bit-identical either way; consumers that
         only read disparity (the evaluator, the bench) should pass False.
         Default True keeps the reference's two-output contract
-        (ppmstereo.py:309-310)."""
+        (ppmstereo.py:309-310).
+
+        mesh shards EACH WINDOW over the device mesh: frames over the
+        `seq` axis, rows over `space` (and, in batch_windows mode, the
+        window-batch over `data`). This is the multi-chip strict-parity
+        inference mode — one 720p/k20/i20 window exceeds the single-chip
+        FLOP ceiling (BENCH_NOTES "Roofline argument"), so the window
+        itself is spread across chips; the PPM pick's top-k memory
+        gathers become XLA all-gathers of the picked K/V blocks over ICI
+        (SURVEY.md §2.10 items 2-3). Stitching, trims, warm chaining and
+        output staging are unchanged — the sharded predictor is
+        exact vs the sequential one (tests/test_sharded_inference.py).
+        The caller must place the params the window_fn closes over as
+        mesh-replicated arrays (jax.device_put(params, NamedSharding(
+        mesh, P()))), and should build the mesh with
+        parallel.mesh.make_mesh (it pins the partitioner that compiles
+        the scanned loop correctly for multi-axis meshes)."""
         self.window_fn = window_fn
         self.warm_window_fn = warm_window_fn
         self.kernel_size = kernel_size
@@ -142,7 +160,43 @@ class SlidingWindowPredictor:
         self.wire_dtype = wire_dtype
         self.max_inflight_windows = max(1, max_inflight_windows)
         self.fetch_uncertainty = fetch_uncertainty
+        self.mesh = mesh
         self._jitted: dict[tuple, Callable] = {}
+
+    def _sharding(self, batched: bool = False):
+        """NamedSharding for a (T, H, W, C) window (or (B, T, H, W, C)
+        batch): T over `seq`, H over `space`, B over `data` — for axes
+        the mesh defines. None when no mesh is set."""
+        if self.mesh is None:
+            return None
+        seq = "seq" if "seq" in self.mesh.shape else None
+        space = "space" if "space" in self.mesh.shape else None
+        if batched:
+            data = "data" if "data" in self.mesh.shape else None
+            return NamedSharding(self.mesh, PartitionSpec(data, seq, space))
+        return NamedSharding(self.mesh, PartitionSpec(seq, space))
+
+    def _jit(self, fn, n_args: int, batched: bool = False,
+             n_device_args: int = 0):
+        """Mesh-mode jit: the first n_args inputs get the canonical
+        window sharding; the trailing n_device_args are device-resident
+        chain values (the warm seed) that keep whatever sharding the
+        producing graph gave them."""
+        sh = self._sharding(batched)
+        if sh is None:
+            return jax.jit(fn)
+        jfn = jax.jit(
+            fn, in_shardings=(sh,) * n_args + (None,) * n_device_args
+        )
+
+        # call (and therefore trace) under the mesh context so the
+        # model's memory-bank sharding hints see the ambient mesh
+        # (ppm_stereo._replicate_bank_over_seq)
+        def call(*args):
+            with self.mesh:
+                return jfn(*args)
+
+        return call
 
     @property
     def output_names(self) -> tuple[str, ...]:
@@ -170,7 +224,7 @@ class SlidingWindowPredictor:
                 outs = self._keep(self.window_fn(lp[None], rp[None]))
                 return tuple(padder.unpad(o[0]) for o in outs)
 
-            self._jitted[key] = jax.jit(fn)
+            self._jitted[key] = self._jit(fn, 2)
         return self._jitted[key](left, right)
 
     def _run_window_warm(self, left, right, prev_disp, overlap: int):
@@ -195,7 +249,7 @@ class SlidingWindowPredictor:
                 )
                 return tuple(padder.unpad(o[0]) for o in outs)
 
-            self._jitted[key] = jax.jit(fn)
+            self._jitted[key] = self._jit(fn, 2, n_device_args=1)
         return self._jitted[key](left, right, prev_disp)
 
     def _run_window_batch(self, lefts: jax.Array, rights: jax.Array):
@@ -211,7 +265,7 @@ class SlidingWindowPredictor:
                 outs = self._keep(self.window_fn(lp, rp))
                 return tuple(padder.unpad(o) for o in outs)
 
-            self._jitted[key] = jax.jit(fn)
+            self._jitted[key] = self._jit(fn, 2, batched=True)
         return self._jitted[key](lefts, rights)
 
     def __call__(self, stereo_video) -> dict[str, np.ndarray]:

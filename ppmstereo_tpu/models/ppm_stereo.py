@@ -69,6 +69,48 @@ def _chunk_sizes(t: int, max_rows: int) -> list[int]:
     return [base + 1] * extra + [base] * (n - extra)
 
 
+def _ambient_mesh_axis(name: str) -> str | None:
+    """The ambient (context-manager) mesh's axis `name`, or None when
+    there is no mesh / no such axis / the axis has size 1. Lets model
+    code emit sharding hints only when tracing under `with mesh:`."""
+    try:
+        from jax._src.mesh import thread_resources
+
+        m = thread_resources.env.physical_mesh
+        if m.empty or name not in m.axis_names or m.shape[name] == 1:
+            return None
+        return name
+    except Exception:
+        return None
+
+
+def _replicate_bank_over_seq(x):
+    """Memory-bank sharding hint for a (B, T, H, W, C) K/V bank under a
+    seq(+space)-sharded window: replicate the frame axis T (ONE bf16
+    all-gather of the bank over the `seq` ICI ring) while rows stay
+    sharded over `space`.
+
+    Without the hint, XLA partitions the pick's one-hot selection einsum
+    (contraction over T) by all-reducing the full (b, t, k, h, w, c)
+    selected output in the dot's f32 accumulator — 6.1 GB/iteration at
+    the 720p/k20 protocol vs ~0.4 GB/iteration for the bank gather
+    (measured: artifacts/comm_model.py, BENCH_NOTES "Sharded-window
+    scaling model"). This is SURVEY.md §2.10 item 2 — "all-gather of
+    picked memory keys/values over ICI" — realized as a gather of the
+    compact per-frame bank instead of the k-times-larger picked
+    expansion. No-op (and numerically exact either way — the selection
+    has one nonzero term per output) outside a seq-sharded mesh."""
+    from jax.sharding import PartitionSpec
+
+    seq = _ambient_mesh_axis("seq")
+    if seq is None:
+        return x
+    space = _ambient_mesh_axis("space")
+    U = PartitionSpec.UNCONSTRAINED
+    spec = PartitionSpec(U, None, space if space else U, U, U)
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
 @dataclass(frozen=True)
 class PPMStereoConfig:
     """Shipped configuration of the reference
@@ -172,6 +214,10 @@ class PPMUpdateLoop(nn.Module):
         b, t, h, w, c = query_pe.shape
         k = min(cfg.top_k, t)  # clips shorter than top_k pick every frame
         scale = c**-0.5 * math.log(2 * c, 12000)
+        # under a seq-sharded mesh: gather the compact per-frame bank
+        # once (value each iteration; key_aug is hinted loop-invariantly
+        # in __call__) so the pick below is local compute
+        value = _replicate_bank_over_seq(value)
 
         def rows(q_r, idx_r, sc_r):
             # q_r: (B,R,H,W,C); idx_r: (b,R,k); sc_r: (b,R,k)
@@ -181,10 +227,19 @@ class PPMUpdateLoop(nn.Module):
             onehot = jax.nn.one_hot(idx_r, t, dtype=key_aug.dtype)  # (b,r,k,t)
 
             def gather(x):
+                # one-hot selection: exactly ONE nonzero term per output,
+                # so operand-dtype accumulation is EXACT. The bank
+                # operand is hinted t-replicated under a seq-sharded mesh
+                # (_replicate_bank_over_seq), making this contraction
+                # local compute; preferred_element_type=x.dtype removes
+                # the f32 accumulator+convert pair so the attention's
+                # required kv all-gather over `space` moves bf16, not f32
+                # (halves the dominant per-iteration ICI bytes —
+                # artifacts/comm_model.py).
                 return jnp.einsum(
                     "brkt,bthwc->brkhwc", onehot, x,
-                    preferred_element_type=jnp.float32,
-                ).astype(x.dtype)
+                    preferred_element_type=x.dtype,
+                )
 
             sel_key = gather(key_aug)
             sel_val = gather(value)
@@ -222,6 +277,10 @@ class PPMUpdateLoop(nn.Module):
     ):
         cfg = self.cfg
         b, t, h, w, _ = flow.shape
+
+        # loop-invariant: replicate the key bank over `seq` once, outside
+        # the scan (see _replicate_bank_over_seq)
+        key_aug = _replicate_bank_over_seq(key_aug)
 
         mask_ch = (27 if cfg.use_convex_3d else 9) * 16
         mask0 = jnp.zeros((b, t, h, w, mask_ch), cfg.dtype)

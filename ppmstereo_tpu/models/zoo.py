@@ -80,16 +80,20 @@ class StereoVideoPredictor:
         warm_start: bool = False,
         warm_iters: int | None = None,
         wire_f16: bool = False,
+        mesh=None,
     ):
         self.kernel_size = kernel_size
         self.iters = iters
         self.model = model_ctor()
         self.outputs_uncertainty = outputs_uncertainty
+        self.mesh = mesh
         if params is None:
             t0 = min(kernel_size, 4)
             params = _init_params(self.model, t0, *init_hw)
-        # normalize to jax arrays (checkpoint restores hand numpy leaves)
-        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        # normalize to jax arrays (checkpoint restores hand numpy leaves);
+        # in mesh mode, replicate params over the mesh so the sharded
+        # window jits see consistently-placed captures
+        self.params = self._place_params(params)
 
         def window_fn(left, right):
             out = self.model.apply(self.params, left, right)
@@ -115,10 +119,21 @@ class StereoVideoPredictor:
             window_fn, kernel_size=kernel_size, fast_mode=fast_mode,
             batch_windows=batch_windows, warm_window_fn=warm_fn,
             wire_dtype=jnp.float16 if wire_f16 else None,
+            mesh=mesh,
+        )
+
+    def _place_params(self, params):
+        if self.mesh is None:
+            return jax.tree_util.tree_map(jnp.asarray, params)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), rep), params
         )
 
     def load_params(self, params):
-        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.params = self._place_params(params)
         self.predictor._jitted.clear()
 
     def __call__(self, batch: dict) -> dict:
@@ -131,7 +146,7 @@ class StereoVideoPredictor:
 @register("PPMStereoModel")
 def _build_ppm(kernel_size: int = 20, iters: int = 20, params=None,
                warm_start: bool = False, warm_iters: int | None = None,
-               wire_f16: bool = False, **cfg_kwargs):
+               wire_f16: bool = False, mesh=None, **cfg_kwargs):
     from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig
 
     cfg = PPMStereoConfig(**cfg_kwargs)
@@ -140,6 +155,7 @@ def _build_ppm(kernel_size: int = 20, iters: int = 20, params=None,
         kernel_size=kernel_size, iters=iters, params=params,
         outputs_uncertainty=True,
         warm_start=warm_start, warm_iters=warm_iters, wire_f16=wire_f16,
+        mesh=mesh,
     )
 
 

@@ -49,7 +49,16 @@ class ParallelWindowPredictor:
 
     def _run_batch(self, lefts: np.ndarray, rights: np.ndarray):
         """lefts: (B, T, H, W, 3) — B full windows at once. Pads B up to
-        the data-axis size so the sharding always divides."""
+        the data-axis size so the sharding always divides.
+
+        Multi-host (jax.process_count() > 1): every host holds the full
+        window batch (the stitched video is replicated, as in the
+        sequential driver); inputs are assembled into global arrays via
+        make_array_from_callback so each host feeds only its addressable
+        window shards, and outputs are jit-replicated (an all-gather over
+        `data`) so every host can stitch the full video — the multi-host
+        streaming contract of BASELINE config #5, verified 2-process by
+        tests/test_distributed_2proc.py."""
         dp = self.windows_per_step
         orig_b = lefts.shape[0]
         if orig_b % dp:
@@ -58,6 +67,7 @@ class ParallelWindowPredictor:
             rights = np.concatenate([rights, np.repeat(rights[-1:], pad, 0)])
         bsz, t, h, w, _ = lefts.shape
         key = (bsz, t, h, w)
+        multiproc = jax.process_count() > 1
         if key not in self._jitted:
             padder = InputPadder(h, w, divis_by=self.divis_by)
             sharding = NamedSharding(self.mesh, P("data", "seq", "space"))
@@ -67,14 +77,26 @@ class ParallelWindowPredictor:
                 disp, unc = self.window_fn(lp, rp)
                 return padder.unpad(disp), padder.unpad(unc)
 
-            self._jitted[key] = (
-                jax.jit(fn, in_shardings=(sharding, sharding)),
-                sharding,
+            rep = NamedSharding(self.mesh, P())
+            jfn = jax.jit(
+                fn,
+                in_shardings=(sharding, sharding),
+                out_shardings=(rep, rep) if multiproc else None,
             )
+            self._jitted[key] = (jfn, sharding)
         fn, sharding = self._jitted[key]
-        l = jax.device_put(jnp.asarray(lefts), sharding)
-        r = jax.device_put(jnp.asarray(rights), sharding)
-        disp, unc = fn(l, r)
+        if multiproc:
+            l = jax.make_array_from_callback(
+                lefts.shape, sharding, lambda idx: lefts[idx]
+            )
+            r = jax.make_array_from_callback(
+                rights.shape, sharding, lambda idx: rights[idx]
+            )
+        else:
+            l = jax.device_put(jnp.asarray(lefts), sharding)
+            r = jax.device_put(jnp.asarray(rights), sharding)
+        with self.mesh:  # ambient mesh: model bank-sharding hints
+            disp, unc = fn(l, r)
         return disp[:orig_b], unc[:orig_b]
 
     def __call__(self, stereo_video) -> dict[str, np.ndarray]:

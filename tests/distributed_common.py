@@ -42,6 +42,33 @@ def build_train_setup():
     return model, state, batch
 
 
+def build_parallel_window_setup(mesh=None):
+    """(window_fn, video) for ParallelWindowPredictor parity: a tiny
+    batched PPMStereo window function + a deterministic 10-frame video
+    (stride-1 windows -> batched full windows AND an odd tail window).
+    With a mesh, params are mesh-replicated so the window_fn's captures
+    are valid in multi-process jits."""
+    import jax
+    import jax.numpy as jnp
+
+    from ppmstereo_tpu.models.ppm_stereo import PPMStereo
+
+    model = PPMStereo(cfg=_tiny_cfg(), iters=1, test_mode=True)
+    zeros = jnp.zeros((1, T, H, W, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(3), zeros, zeros)
+    if mesh is not None:
+        from ppmstereo_tpu.parallel.sharding import replicate
+
+        params = jax.device_put(params, replicate(mesh))
+
+    def window_fn(left, right):
+        return model.apply(params, left, right)
+
+    rng = np.random.default_rng(11)
+    video = rng.uniform(0, 255, (10, 2, H, W, 3)).astype(np.float32)
+    return window_fn, video
+
+
 def build_eval_predictor_and_dataset():
     from ppmstereo_tpu.data.datasets import SyntheticStereoDataset
     from ppmstereo_tpu.models.zoo import model_zoo

@@ -73,7 +73,21 @@ def main():
     predictor, dataset = build_eval_predictor_and_dataset()
     eval_metrics = evaluate_distributed(None, predictor, dataset, mesh)
 
+    # ---- 3. multi-host parallel window streaming -----------------------
+    # (BASELINE config #5: windows sharded over the data axis across
+    # processes; every host stitches the full video)
+    from tests.distributed_common import build_parallel_window_setup
+
+    from ppmstereo_tpu.parallel.streaming import ParallelWindowPredictor
+
+    window_fn, video = build_parallel_window_setup(mesh)
+    from tests.distributed_common import T as KERNEL_T
+
+    ppred = ParallelWindowPredictor(window_fn, mesh, kernel_size=KERNEL_T)
+    pout = ppred(video)
+
     if pid == 0:
+        np.save(out_path + ".pwin.npy", pout["disparity"])
         with open(out_path, "w") as f:
             json.dump(
                 {

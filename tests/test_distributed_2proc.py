@@ -1,5 +1,7 @@
-"""2-process jax.distributed correctness: the sharded train step and the
-distributed evaluator produce the same numbers as a single process.
+"""2-process jax.distributed correctness: the sharded train step, the
+distributed evaluator AND the parallel window predictor (multi-host
+streaming, BASELINE config #5) produce the same numbers as a single
+process.
 
 The reference never tests multi-node (DDP is launched, never verified —
 /root/reference/train.py:493-500); this is the CPU fake-backend
@@ -14,6 +16,7 @@ import socket
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 
@@ -85,3 +88,16 @@ def test_two_process_train_and_eval(tmp_path):
         assert abs(dist["eval"][k] - float(v)) < 1e-3 * max(1.0, abs(float(v))), (
             k, dist["eval"][k], float(v),
         )
+
+    # ---- parallel window predictor (multi-host streaming) vs the
+    # SEQUENTIAL sliding-window driver (golden) ----
+    from tests.distributed_common import T, build_parallel_window_setup
+
+    from ppmstereo_tpu.models.inference import SlidingWindowPredictor
+
+    window_fn, video = build_parallel_window_setup()
+    seq_pred = SlidingWindowPredictor(window_fn, kernel_size=T)
+    want_disp = seq_pred(video)["disparity"]
+    got_disp = np.load(str(out) + ".pwin.npy")
+    assert got_disp.shape == want_disp.shape
+    np.testing.assert_allclose(got_disp, want_disp, rtol=1e-4, atol=1e-4)
