@@ -46,7 +46,11 @@ def main():
         mixed_precision=True,
         exp_dir=EXP_DIR,
         ckpt_after_steps=0,
-        save_freq=1000,
+        save_freq=int(os.environ.get("ANCHOR_SAVE_FREQ", "1000")),
+        # uint8 image wire: bounds the axon client's per-transfer host
+        # buffer retention (~26 MB/step observed) so an 8k-step run fits
+        # in host RAM; quantization is sub-LSB post-augmentation
+        wire_uint8=True,
         eval_freq=10**9,
         num_workers=2,
         log_freq=50,

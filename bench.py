@@ -108,6 +108,19 @@ def main():
         os.environ.get("BENCH_WIRE_F16", "0") == "1"
         and (fast_mode or warm_start)
     )
+    # BENCH_ENC_CACHE=1 reuses per-frame encoder features across
+    # overlapping windows (strict parity preserved — the encoders are
+    # per-frame; exactness: test_harness.py::test_encoder_cache_matches_
+    # uncached). Off by default until measured a win on-chip.
+    enc_cache = os.environ.get("BENCH_ENC_CACHE", "0") == "1"
+    enc_fn = body_fn = None
+    if enc_cache:
+        def enc_fn(left, right):
+            return model.apply(params, left, right, method="encode_frames")
+
+        def body_fn(left, right, feats):
+            return model.apply(params, left, right, feats=feats)
+
     # BENCH_FETCH_UNC=1 also fetches the uncertainty maps. Default off:
     # the bench (and the reference evaluator) consume disparity only, and
     # the unused uncertainty wire copy would dominate on this tunnel.
@@ -119,6 +132,7 @@ def main():
         batch_windows=batch_windows, warm_window_fn=warm_fn,
         wire_dtype=jnp.float16 if wire_f16 else None,
         fetch_uncertainty=fetch_unc,
+        encode_window_fn=enc_fn, body_window_fn=body_fn,
     )
 
     # warmup (compile): run the exact measured workload once so every

@@ -25,6 +25,11 @@ class ModelConfig:
     checkpoint: str = ""
     fast_mode: bool = False  # non-overlapping windows (~2x, non-parity)
     batch_windows: int = 1  # windows per device call (parity-safe)
+    # multi-chip strict-parity inference: shard EACH window over a
+    # (data, seq, space) mesh — "MODEL.mesh=1x2x4" spreads one window
+    # over 8 chips (frames over seq, rows over space; exact vs the
+    # sequential driver — tests/test_sharded_inference.py). Empty = off.
+    mesh: str = ""
     # extra model-constructor kwargs as "k=v,k2=v2" (values literal-eval'd),
     # e.g. MODEL.model_kwargs="use_cnet=False,top_k=2" — the analog of the
     # reference's open MODEL.* hydra namespace (evaluate.py:30-58)
@@ -127,12 +132,20 @@ def run_eval(cfg: DefaultConfig):
     )
     from ppmstereo_tpu.models.zoo import model_zoo
 
+    mesh = None
+    if cfg.MODEL.mesh:
+        from ppmstereo_tpu.parallel.mesh import MeshSpec, make_mesh
+
+        data, seq, space = (int(s) for s in cfg.MODEL.mesh.split("x"))
+        mesh = make_mesh(MeshSpec(data=data, seq=seq, space=space))
+
     predictor = model_zoo(
         cfg.MODEL.model_name,
         kernel_size=cfg.MODEL.kernel_size,
         iters=cfg.MODEL.iters,
         fast_mode=cfg.MODEL.fast_mode,
         batch_windows=cfg.MODEL.batch_windows,
+        mesh=mesh,
         **_parse_model_kwargs(cfg.MODEL.model_kwargs),
     )
     if cfg.MODEL.checkpoint:

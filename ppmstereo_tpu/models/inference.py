@@ -91,6 +91,8 @@ class SlidingWindowPredictor:
         max_inflight_windows: int = 8,
         fetch_uncertainty: bool = True,
         mesh: Mesh | None = None,
+        encode_window_fn: Callable | None = None,
+        body_window_fn: Callable | None = None,
     ):
         """fast_mode=True runs non-overlapping windows (stride ==
         kernel_size, no edge trimming) — ~2x throughput over the
@@ -161,6 +163,20 @@ class SlidingWindowPredictor:
         self.max_inflight_windows = max(1, max_inflight_windows)
         self.fetch_uncertainty = fetch_uncertainty
         self.mesh = mesh
+        # encoder caching (strict parity, device-chained): active when
+        # the model provides a per-frame encode/body split AND windows
+        # overlap (fast_mode has no shared frames to reuse) AND windows
+        # run sequentially (warm mode seeds already chain; batch mode
+        # computes windows together) — see _run_window_cached
+        self.encode_window_fn = encode_window_fn
+        self.body_window_fn = body_window_fn
+        self.encoder_cache = (
+            encode_window_fn is not None
+            and body_window_fn is not None
+            and not fast_mode
+            and warm_window_fn is None
+            and batch_windows <= 1
+        )
         self._jitted: dict[tuple, Callable] = {}
 
     def _sharding(self, batched: bool = False):
@@ -251,6 +267,58 @@ class SlidingWindowPredictor:
 
             self._jitted[key] = self._jit(fn, 2, n_device_args=1)
         return self._jitted[key](left, right, prev_disp)
+
+    def _run_window_cached(self, left, right, cached, n_ov: int,
+                           keep_last: int):
+        """Encoder-cached strict window: per-frame features for the
+        first n_ov frames come from the previous window's device-resident
+        cache; only the t - n_ov NEW frames run the encoders. The
+        encoders are strictly per-frame (PPMStereo.encode_frames), so the
+        stitched output is identical to the uncached driver while saving
+        ~overlap/kernel of the encoder FLOPs per window — the reference
+        recomputes them (ppmstereo.py:601-624). Returns the window
+        outputs plus the feature cache (last keep_last frames) for the
+        next window; all chaining stays on device."""
+        t, h, w, _ = left.shape
+        key = ("enccache", t, h, w, n_ov, keep_last)
+        if key not in self._jitted:
+            padder = InputPadder(h, w, divis_by=self.divis_by)
+
+            def encode_and_assemble(lp, rp, cfeats):
+                nfeats = self.encode_window_fn(
+                    lp[n_ov:][None], rp[n_ov:][None]
+                )
+                if cfeats is None:
+                    return nfeats
+                return jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b], axis=1),
+                    cfeats, nfeats,
+                )
+
+            def body(lp, rp, feats):
+                outs = self._keep(
+                    self.body_window_fn(lp[None], rp[None], feats)
+                )
+                cache = jax.tree_util.tree_map(
+                    lambda x: x[:, t - keep_last:], feats
+                )
+                return tuple(padder.unpad(o[0]) for o in outs) + (cache,)
+
+            if n_ov:
+                def fn(l, r, cfeats):
+                    lp, rp = padder.pad(l, r)
+                    return body(lp, rp, encode_and_assemble(lp, rp, cfeats))
+
+                self._jitted[key] = self._jit(fn, 2, n_device_args=1)
+            else:
+                def fn(l, r):
+                    lp, rp = padder.pad(l, r)
+                    return body(lp, rp, encode_and_assemble(lp, rp, None))
+
+                self._jitted[key] = self._jit(fn, 2)
+        if n_ov:
+            return self._jitted[key](left, right, cached)
+        return self._jitted[key](left, right)
 
     def _run_window_batch(self, lefts: jax.Array, rights: jax.Array):
         """lefts/rights: (B, T, H, W, 3). Returns a tuple of
@@ -355,6 +423,25 @@ class SlidingWindowPredictor:
                     ov = max(0, min(prev_start + prev_disp.shape[0] - i, wlen))
                     outs = self._run_window_warm(lw, rw, prev_disp, ov)
                 prev_start, prev_disp = i, outs[0]
+                append_and_drain(
+                    (i, wlen, tuple(stage(i, wlen, o) for o in outs))
+                )
+            jobs = []
+
+        elif self.encoder_cache:
+            # strict windows with per-frame encoder outputs chained on
+            # device: window j+1 reuses the features of the frames it
+            # shares with window j (exact — see _run_window_cached)
+            cache, n_ov = None, 0
+            for idx, (i, wlen, lw, rw) in enumerate(jobs):
+                keep_last = (
+                    max(0, i + wlen - jobs[idx + 1][0])
+                    if idx + 1 < len(jobs) else 0
+                )
+                *outs, cache = self._run_window_cached(
+                    lw, rw, cache, n_ov, keep_last
+                )
+                n_ov = keep_last
                 append_and_drain(
                     (i, wlen, tuple(stage(i, wlen, o) for o in outs))
                 )

@@ -515,9 +515,38 @@ class PPMStereo(nn.Module):
         query_pe = query + te_b
         return pyramid, coords0, query_pe, key_aug, sim_score
 
+    def encode_frames(self, image1, image2):
+        """Per-frame feature extraction (fnet + cnet), split out so the
+        sliding-window driver can CACHE features for frames shared by
+        overlapping windows: the encoders are strictly per-frame (2-D
+        convs + instance/layer norms over the folded (B, T) batch), so a
+        frame's features are identical in whichever window it appears —
+        recomputing them per window (as the reference does,
+        ppmstereo.py:601-624) wastes ~overlap/kernel of the encoder
+        FLOPs. Returns the dict consumed by __call__(feats=...). Not
+        supported for use_vfm (the VDA pyramid stays single-graph)."""
+        cfg = self.cfg
+        if cfg.use_vfm:
+            raise ValueError("encode_frames does not support use_vfm")
+        b = image1.shape[0]
+        image1 = (2.0 * (image1 / 255.0) - 1.0).astype(cfg.dtype)
+        image2 = (2.0 * (image2 / 255.0) - 1.0).astype(cfg.dtype)
+        both = jnp.concatenate([image1, image2], axis=0)
+        fmaps = self.fnet(both)
+        feats = {"fmap1": fmaps[:b], "fmap2": fmaps[b:]}
+        if cfg.use_cnet:
+            cnet4, cnet8, cnet16 = self.cnet(image1)
+            feats.update(cnet4=cnet4, cnet8=cnet8, cnet16=cnet16)
+        return feats
+
     # --------------------------------------------------------------- forward
-    def __call__(self, image1, image2, flow_init=None):
+    def __call__(self, image1, image2, flow_init=None, feats=None):
         """image1/image2: (B, T, H, W, 3) in [0, 255].
+
+        feats: optional precomputed per-frame features from
+        encode_frames (possibly concatenated across windows by the
+        encoder-caching sliding-window driver); when given, fnet/cnet are
+        skipped and the forward is otherwise identical.
 
         flow_init: optional (B, T, H, W, 1) full-resolution SIGNED x-flow
         (negative disparity) warm start. When given, the 1/16 and 1/8
@@ -536,23 +565,35 @@ class PPMStereo(nn.Module):
         dtype = cfg.dtype
         b = image1.shape[0]
 
-        raw1, raw2 = image1, image2
-        image1 = (2.0 * (image1 / 255.0) - 1.0).astype(dtype)
-        image2 = (2.0 * (image2 / 255.0) - 1.0).astype(dtype)
-
-        both = jnp.concatenate([image1, image2], axis=0)
-        if cfg.use_vfm:
-            fmap1, fmap2, vfm16 = self._vfm_features(raw1, raw2, both)
-        else:
-            fmaps = self.fnet(both)
-            fmap1, fmap2 = fmaps[:b], fmaps[b:]
+        cnet4 = cnet8 = cnet16 = None
+        if feats is not None:
+            if cfg.use_vfm:
+                raise ValueError("feats= does not support use_vfm")
+            fmap1, fmap2 = feats["fmap1"], feats["fmap2"]
+            if cfg.use_cnet:
+                cnet4, cnet8, cnet16 = (
+                    feats["cnet4"], feats["cnet8"], feats["cnet16"]
+                )
             vfm16 = None
+        else:
+            raw1, raw2 = image1, image2
+            image1 = (2.0 * (image1 / 255.0) - 1.0).astype(dtype)
+            image2 = (2.0 * (image2 / 255.0) - 1.0).astype(dtype)
+
+            both = jnp.concatenate([image1, image2], axis=0)
+            if cfg.use_vfm:
+                fmap1, fmap2, vfm16 = self._vfm_features(raw1, raw2, both)
+            else:
+                fmaps = self.fnet(both)
+                fmap1, fmap2 = fmaps[:b], fmaps[b:]
+                vfm16 = None
+            if cfg.use_cnet:
+                cnet4, cnet8, cnet16 = self.cnet(image1)
 
         hdim = cfg.hidden_dim
         net = fmap1[..., :hdim]
         inp = fmap1[..., hdim:]
         if cfg.use_cnet:
-            cnet4, cnet8, cnet16 = self.cnet(image1)
             net = (net + cnet4[..., :hdim]) / 2.0
             inp = (inp + cnet4[..., hdim:]) / 2.0
         net = jnp.tanh(net)

@@ -81,6 +81,7 @@ class StereoVideoPredictor:
         warm_iters: int | None = None,
         wire_f16: bool = False,
         mesh=None,
+        encoder_cache: bool = False,
     ):
         self.kernel_size = kernel_size
         self.iters = iters
@@ -115,11 +116,28 @@ class StereoVideoPredictor:
                     return out
                 return out, jnp.zeros_like(out)
 
+        enc_fn = body_fn = None
+        if encoder_cache:
+            # strict-parity encoder reuse across overlapping windows —
+            # requires the model's per-frame encode/body split
+            # (PPMStereo.encode_frames)
+            def enc_fn(left, right):
+                return self.model.apply(
+                    self.params, left, right, method="encode_frames"
+                )
+
+            def body_fn(left, right, feats):
+                out = self.model.apply(self.params, left, right, feats=feats)
+                if isinstance(out, tuple):
+                    return out
+                return out, jnp.zeros_like(out)
+
         self.predictor = SlidingWindowPredictor(
             window_fn, kernel_size=kernel_size, fast_mode=fast_mode,
             batch_windows=batch_windows, warm_window_fn=warm_fn,
             wire_dtype=jnp.float16 if wire_f16 else None,
             mesh=mesh,
+            encode_window_fn=enc_fn, body_window_fn=body_fn,
         )
 
     def _place_params(self, params):
@@ -146,7 +164,8 @@ class StereoVideoPredictor:
 @register("PPMStereoModel")
 def _build_ppm(kernel_size: int = 20, iters: int = 20, params=None,
                warm_start: bool = False, warm_iters: int | None = None,
-               wire_f16: bool = False, mesh=None, **cfg_kwargs):
+               wire_f16: bool = False, mesh=None, encoder_cache: bool = False,
+               **cfg_kwargs):
     from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig
 
     cfg = PPMStereoConfig(**cfg_kwargs)
@@ -155,46 +174,50 @@ def _build_ppm(kernel_size: int = 20, iters: int = 20, params=None,
         kernel_size=kernel_size, iters=iters, params=params,
         outputs_uncertainty=True,
         warm_start=warm_start, warm_iters=warm_iters, wire_f16=wire_f16,
-        mesh=mesh,
+        mesh=mesh, encoder_cache=encoder_cache,
     )
 
 
 @register("PPMStereoVDAModel")
-def _build_ppm_vda(kernel_size: int = 20, iters: int = 20, params=None, **cfg_kwargs):
+def _build_ppm_vda(kernel_size: int = 20, iters: int = 20, params=None,
+                   mesh=None, **cfg_kwargs):
     from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig
 
     cfg = PPMStereoConfig(use_vfm=True, use_cnet=True, **cfg_kwargs)
     return StereoVideoPredictor(
         lambda: PPMStereo(cfg=cfg, iters=iters, test_mode=True),
         kernel_size=kernel_size, iters=iters, params=params,
-        outputs_uncertainty=True, init_hw=(64, 128),
+        outputs_uncertainty=True, init_hw=(64, 128), mesh=mesh,
     )
 
 
 @register("DynamicStereoModel")
-def _build_dynamic(kernel_size: int = 20, iters: int = 20, params=None, **cfg_kwargs):
+def _build_dynamic(kernel_size: int = 20, iters: int = 20, params=None,
+                   mesh=None, **cfg_kwargs):
     from ppmstereo_tpu.models.dynamic_stereo import DynamicStereo, DynamicStereoConfig
 
     cfg = DynamicStereoConfig(**cfg_kwargs)
     return StereoVideoPredictor(
         lambda: DynamicStereo(cfg=cfg, iters=iters, test_mode=True),
-        kernel_size=kernel_size, iters=iters, params=params,
+        kernel_size=kernel_size, iters=iters, params=params, mesh=mesh,
     )
 
 
 @register("BiDAStereoModel")
-def _build_bida(kernel_size: int = 20, iters: int = 10, params=None, **cfg_kwargs):
+def _build_bida(kernel_size: int = 20, iters: int = 10, params=None,
+                mesh=None, **cfg_kwargs):
     from ppmstereo_tpu.models.bidastereo import BiDAStereo, BiDAStereoConfig
 
     cfg = BiDAStereoConfig(**cfg_kwargs)
     return StereoVideoPredictor(
         lambda: BiDAStereo(cfg=cfg, iters=iters, test_mode=True),
-        kernel_size=kernel_size, iters=iters, params=params,
+        kernel_size=kernel_size, iters=iters, params=params, mesh=mesh,
     )
 
 
 @register("StereoAnyVideoModel")
-def _build_sav(kernel_size: int = 20, iters: int = 12, params=None, **cfg_kwargs):
+def _build_sav(kernel_size: int = 20, iters: int = 12, params=None,
+               mesh=None, **cfg_kwargs):
     from ppmstereo_tpu.models.stereoanyvideo import (
         StereoAnyVideo,
         StereoAnyVideoConfig,
@@ -204,18 +227,19 @@ def _build_sav(kernel_size: int = 20, iters: int = 12, params=None, **cfg_kwargs
     return StereoVideoPredictor(
         lambda: StereoAnyVideo(cfg=cfg, iters=iters, test_mode=True),
         kernel_size=kernel_size, iters=iters, params=params,
-        init_hw=(64, 128),
+        init_hw=(64, 128), mesh=mesh,
     )
 
 
 @register("RAFTStereoModel")
-def _build_raft_stereo(kernel_size: int = 20, iters: int = 32, params=None, **cfg_kwargs):
+def _build_raft_stereo(kernel_size: int = 20, iters: int = 32, params=None,
+                       mesh=None, **cfg_kwargs):
     from ppmstereo_tpu.models.raft_stereo import RAFTStereo, RAFTStereoConfig
 
     cfg = RAFTStereoConfig(**cfg_kwargs)
     return StereoVideoPredictor(
         lambda: RAFTStereoVideoAdapter(cfg, iters),
-        kernel_size=kernel_size, iters=iters, params=params,
+        kernel_size=kernel_size, iters=iters, params=params, mesh=mesh,
     )
 
 

@@ -56,6 +56,14 @@ class TrainConfig:
     data_parallel: int = 0  # 0 = all devices
     seq_parallel: int = 1
     space_parallel: int = 1
+    # ship images to the device as uint8 (cast + normalize on device):
+    # 4x less host->device transfer per step. Post-augmentation values
+    # are clipped and rounded to [0, 255] — sub-LSB quantization of the
+    # photometric jitter, irrelevant to training. Also bounds the host
+    # RSS of long runs against per-transfer buffer retention in remote-
+    # device clients (observed ~26 MB/step leak on the axon tunnel;
+    # uint8 images cut it ~3x).
+    wire_uint8: bool = False
 
 
 def build_train_model(cfg: TrainConfig):
@@ -244,16 +252,26 @@ def train(cfg: TrainConfig, loader=None, max_steps: int | None = None,
     push_every = max(1, min(10, cfg.log_freq))
     t_last = time.perf_counter()
 
+    import gc
+
+    def _wire(k, v):
+        v = np.asarray(v)
+        if cfg.wire_uint8 and k in ("left", "right"):
+            v = np.clip(v, 0, 255).astype(np.uint8)
+        return v
+
     done = False
     while not done:
         for batch in loader:
             with mesh:
                 batch = {
-                    k: jax.device_put(jnp.asarray(v), batch_shardings[k])
+                    k: jax.device_put(jnp.asarray(_wire(k, v)), batch_shardings[k])
                     for k, v in batch.items()
                 }
                 state, metrics = step_fn(state, batch)
             total_steps += 1
+            if total_steps % 100 == 0:
+                gc.collect()  # promptly drop dead host transfer buffers
 
             if total_steps % push_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}

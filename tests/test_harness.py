@@ -263,6 +263,34 @@ class TestBatchedWindows:
             out_bat["disparity"], out_seq["disparity"], rtol=1e-5, atol=1e-5
         )
 
+    def test_encoder_cache_matches_uncached(self):
+        """Encoder-cached strict windows (features of overlapping frames
+        reused from the previous window, PPMStereo.encode_frames) stitch
+        to the same output as the plain driver — the encoders are
+        per-frame, so caching is parity-free. Covers body windows, the
+        odd tail window, and the cnet path."""
+        from ppmstereo_tpu.models.zoo import model_zoo
+
+        common = dict(
+            kernel_size=4, iters=2, mixed_precision=False, use_cnet=True,
+            attention_type=None, num_frames=4, top_k=2,
+            force_xla_attention=True,
+        )
+        plain = model_zoo("PPMStereoModel", **common)
+        cached = model_zoo("PPMStereoModel", encoder_cache=True, **common)
+        cached.load_params(plain.params)
+        assert cached.predictor.encoder_cache
+
+        rng = np.random.default_rng(9)
+        video = rng.uniform(0, 255, (10, 2, 64, 96, 3)).astype(np.float32)
+        out_plain = plain({"stereo_video": video})
+        out_cached = cached({"stereo_video": video})
+        assert out_cached["disparity"].shape == out_plain["disparity"].shape
+        np.testing.assert_allclose(
+            out_cached["disparity"], out_plain["disparity"],
+            rtol=1e-5, atol=1e-5,
+        )
+
 
 class TestOddStrideStitch:
     @pytest.mark.parametrize("k,n", [(4, 10), (10, 40), (10, 13), (6, 17)])
