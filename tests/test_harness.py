@@ -110,7 +110,7 @@ class TestZooAndEvaluator:
         }
 
         predictor = model_zoo("RAFTStereoModel", kernel_size=4, iters=2)
-        ds = SyntheticStereoDataset(num_seqs=1, sample_len=2, height=64, width=128)
+        ds = SyntheticStereoDataset(num_seqs=1, sample_len=2, height=48, width=64)
         # raw samples (no augmentation) expose img/disp/valid
         evaluator = Evaluator(EvalConfig())
         results = evaluator.evaluate_sequence(predictor, ds)
@@ -448,7 +448,10 @@ class TestWarmChaining:
 class TestLearning:
     @pytest.mark.slow
     def test_loss_decreases_overfitting_one_batch(self):
-        """30 update steps on one synthetic batch must cut the loss."""
+        """20 update steps on one synthetic batch must cut the loss.
+        (Kept small — 48x64 crops, 20 steps — it is the learning-dynamics
+        check; architecture/backward coverage lives in test_grads_flow
+        and the per-family gradient tests.)"""
         import optax
 
         from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig
@@ -462,7 +465,7 @@ class TestLearning:
 
         rng = np.random.default_rng(0)
         from ppmstereo_tpu.data.datasets import SyntheticStereoDataset
-        ds = SyntheticStereoDataset(num_seqs=1, sample_len=2, height=64, width=128)
+        ds = SyntheticStereoDataset(num_seqs=1, sample_len=2, height=48, width=64)
         s = ds[0]
         batch = {
             "left": jnp.asarray(s["img"][None, :, 0]),
@@ -472,7 +475,7 @@ class TestLearning:
         }
 
         params = model.init(jax.random.PRNGKey(0), batch["left"], batch["right"])
-        tx = optax.adam(1e-4)
+        tx = optax.adam(2e-4)
         opt_state = tx.init(params)
 
         @jax.jit
@@ -489,7 +492,7 @@ class TestLearning:
             return optax.apply_updates(params, updates), opt_state, loss
 
         losses = []
-        for _ in range(30):
+        for _ in range(20):
             params, opt_state, loss = step(params, opt_state, batch)
             losses.append(float(loss))
         assert np.isfinite(losses).all()

