@@ -233,6 +233,10 @@ def main():
         ),
         "transfer_overhead_s": round(max(0.0, dt - compute_s), 3),
         "uncertainty_fetched": fetch_unc,
+        # NB: device_s_per_window times the UNCACHED window graph; with
+        # encoder_cache the steady-state windows are cheaper, so
+        # transfer_overhead_s is a lower bound in that mode
+        "encoder_cache": enc_cache,
     }
     print(json.dumps(record))
 

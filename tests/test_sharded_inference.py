@@ -96,6 +96,40 @@ def test_sharded_warm_windowing_matches_sequential(model_and_params):
     )
 
 
+@pytest.mark.slow
+def test_sharded_encoder_cache_matches_sequential(model_and_params):
+    """Mesh-sharded windows COMPOSED with the encoder cache (per-frame
+    features of overlapping frames reused across windows, chained on
+    device as sharded arrays) — the deployment shape for a pod slice."""
+    model, params = model_and_params
+    video = _video(n=8)
+
+    out_ref = _make(model, params)(video)
+
+    mesh = make_mesh(MeshSpec(data=1, seq=2, space=2))
+    rep = NamedSharding(mesh, P())
+    sparams = jax.device_put(params, rep)
+
+    def window_fn(l, r):
+        return model.apply(sparams, l, r)
+
+    def enc_fn(l, r):
+        return model.apply(sparams, l, r, method="encode_frames")
+
+    def body_fn(l, r, feats):
+        return model.apply(sparams, l, r, feats=feats)
+
+    pred = SlidingWindowPredictor(
+        window_fn, kernel_size=4, mesh=mesh,
+        encode_window_fn=enc_fn, body_window_fn=body_fn,
+    )
+    assert pred.encoder_cache
+    out_sh = pred(video)
+    np.testing.assert_allclose(
+        out_sh["disparity"], out_ref["disparity"], rtol=1e-4, atol=1e-4
+    )
+
+
 def test_sharded_whole_clip_path(model_and_params):
     """Video shorter than one window: single sharded whole-clip graph."""
     model, params = model_and_params
