@@ -49,18 +49,33 @@ def main():
         save_freq=int(os.environ.get("ANCHOR_SAVE_FREQ", "1000")),
         # uint8 image wire: bounds the axon client's per-transfer host
         # buffer retention (~26 MB/step observed) so an 8k-step run fits
-        # in host RAM; quantization is sub-LSB post-augmentation
-        wire_uint8=True,
+        # in host RAM; quantization is sub-LSB post-augmentation.
+        # ANCHOR_WIRE_UINT8=0 keeps the f32 wire (reuses the remote
+        # compile cache of the original graph) — pair it with
+        # ANCHOR_MAX_STEPS chunking + process restarts to bound the leak.
+        wire_uint8=os.environ.get("ANCHOR_WIRE_UINT8", "1") == "1",
         eval_freq=10**9,
-        num_workers=2,
+        # 0: inline data generation. Forked DataLoader workers deadlock
+        # nondeterministically after the axon client's threads exist
+        # (observed: 52 min in queue.get with both workers stuck);
+        # synthetic generation is cheap next to the ~2 s step.
+        num_workers=0,
         log_freq=50,
     )
 
+    max_steps = os.environ.get("ANCHOR_MAX_STEPS")
     t0 = time.perf_counter()
-    state = train(cfg, enable_eval=False)
+    state = train(
+        cfg, enable_eval=False,
+        max_steps=int(max_steps) if max_steps else None,
+    )
     dt = time.perf_counter() - t0
-    print(f"trained {STEPS} steps in {dt/3600:.2f} h "
-          f"({dt/STEPS:.2f} s/step)", flush=True)
+    done = int(state.step)
+    print(f"reached step {done} in {dt/3600:.2f} h", flush=True)
+    if done < STEPS:
+        print("partial run (ANCHOR_MAX_STEPS) — resume to continue; "
+              "skipping npz export", flush=True)
+        return
 
     # flat f16 npz for the standing repo anchor (Orbax keeps the full
     # f32 train state for resume)

@@ -264,8 +264,10 @@ def train(cfg: TrainConfig, loader=None, max_steps: int | None = None,
     while not done:
         for batch in loader:
             with mesh:
+                # device_put straight from numpy: jnp.asarray first would
+                # allocate a second, default-placed device copy per tensor
                 batch = {
-                    k: jax.device_put(jnp.asarray(_wire(k, v)), batch_shardings[k])
+                    k: jax.device_put(_wire(k, v), batch_shardings[k])
                     for k, v in batch.items()
                 }
                 state, metrics = step_fn(state, batch)
