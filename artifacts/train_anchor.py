@@ -55,10 +55,14 @@ def main():
         # ANCHOR_MAX_STEPS chunking + process restarts to bound the leak.
         wire_uint8=os.environ.get("ANCHOR_WIRE_UINT8", "1") == "1",
         eval_freq=10**9,
-        # 0: inline data generation. Forked DataLoader workers deadlock
-        # nondeterministically after the axon client's threads exist
-        # (observed: 52 min in queue.get with both workers stuck);
-        # synthetic generation is cheap next to the ~2 s step.
+        # 0: inline data generation — one fewer failure mode (forked
+        # DataLoader workers after the axon client's threads exist are
+        # fork-unsafe), and synthetic generation is cheap next to the
+        # ~2 s step. NB the observed 52-min restart stall was ultimately
+        # the TPU grant wedged by SIGINT-killing the previous run (io
+        # counters showed zero tunnel traffic): after stopping a TPU
+        # process, WAIT for the grant to free (10-60 min) before
+        # relaunching, and never kill the relaunch for being slow.
         num_workers=0,
         log_freq=50,
     )

@@ -113,13 +113,19 @@ def main():
     # per-frame; exactness: test_harness.py::test_encoder_cache_matches_
     # uncached). Off by default until measured a win on-chip.
     enc_cache = os.environ.get("BENCH_ENC_CACHE", "0") == "1"
-    enc_fn = body_fn = None
+    enc_fn = body_fn = warm_body_fn = None
     if enc_cache:
         def enc_fn(left, right):
             return model.apply(params, left, right, method="encode_frames")
 
         def body_fn(left, right, feats):
             return model.apply(params, left, right, feats=feats)
+
+        if warm_start:
+            def warm_body_fn(left, right, flow_init, feats):
+                return model_warm.apply(
+                    params, left, right, flow_init=flow_init, feats=feats
+                )
 
     # BENCH_FETCH_UNC=1 also fetches the uncertainty maps. Default off:
     # the bench (and the reference evaluator) consume disparity only, and
@@ -133,6 +139,7 @@ def main():
         wire_dtype=jnp.float16 if wire_f16 else None,
         fetch_uncertainty=fetch_unc,
         encode_window_fn=enc_fn, body_window_fn=body_fn,
+        warm_body_window_fn=warm_body_fn,
     )
 
     # warmup (compile): run the exact measured workload once so every

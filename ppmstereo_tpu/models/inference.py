@@ -93,6 +93,7 @@ class SlidingWindowPredictor:
         mesh: Mesh | None = None,
         encode_window_fn: Callable | None = None,
         body_window_fn: Callable | None = None,
+        warm_body_window_fn: Callable | None = None,
     ):
         """fast_mode=True runs non-overlapping windows (stride ==
         kernel_size, no edge trimming) — ~2x throughput over the
@@ -163,19 +164,21 @@ class SlidingWindowPredictor:
         self.max_inflight_windows = max(1, max_inflight_windows)
         self.fetch_uncertainty = fetch_uncertainty
         self.mesh = mesh
-        # encoder caching (strict parity, device-chained): active when
-        # the model provides a per-frame encode/body split AND windows
+        # encoder caching (parity-free, device-chained): active when the
+        # model provides a per-frame encode/body split AND windows
         # overlap (fast_mode has no shared frames to reuse) AND windows
-        # run sequentially (warm mode seeds already chain; batch mode
-        # computes windows together) — see _run_window_cached
+        # run sequentially (batch mode computes windows together). Warm
+        # mode composes when a warm body fn is provided — the warm seed
+        # chain and the feature-cache chain ride the same dispatch.
         self.encode_window_fn = encode_window_fn
         self.body_window_fn = body_window_fn
+        self.warm_body_window_fn = warm_body_window_fn
         self.encoder_cache = (
             encode_window_fn is not None
             and body_window_fn is not None
             and not fast_mode
-            and warm_window_fn is None
             and batch_windows <= 1
+            and (warm_window_fn is None or warm_body_window_fn is not None)
         )
         self._jitted: dict[tuple, Callable] = {}
 
@@ -320,6 +323,44 @@ class SlidingWindowPredictor:
             return self._jitted[key](left, right, cached)
         return self._jitted[key](left, right)
 
+    def _run_window_warm_cached(self, left, right, prev_disp, overlap: int,
+                                cached, n_ov: int, keep_last: int):
+        """Warm window with BOTH device chains: the warm disparity seed
+        from the previous window (_run_window_warm) and the per-frame
+        encoder-feature cache (_run_window_cached) — one dispatch, no
+        host syncs."""
+        t, h, w, _ = left.shape
+        prev_len = prev_disp.shape[0]
+        key = ("warmenccache", t, h, w, prev_len, overlap, n_ov, keep_last)
+        if key not in self._jitted:
+            padder = InputPadder(h, w, divis_by=self.divis_by)
+            ov = overlap
+
+            def fn(l, r, prev, cfeats):
+                tail = jnp.broadcast_to(prev[-1:], (t - ov, *prev.shape[1:]))
+                fi = jnp.concatenate([prev[prev_len - ov :], tail]) if ov else tail
+                lp, rp = padder.pad(l, r)
+                (fip,) = padder.pad(fi.astype(jnp.float32))
+                nfeats = self.encode_window_fn(
+                    lp[n_ov:][None], rp[n_ov:][None]
+                )
+                feats = jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b], axis=1),
+                    cfeats, nfeats,
+                )
+                outs = self._keep(
+                    self.warm_body_window_fn(
+                        lp[None], rp[None], fip[None], feats
+                    )
+                )
+                cache = jax.tree_util.tree_map(
+                    lambda x: x[:, t - keep_last:], feats
+                )
+                return tuple(padder.unpad(o[0]) for o in outs) + (cache,)
+
+            self._jitted[key] = self._jit(fn, 2, n_device_args=2)
+        return self._jitted[key](left, right, prev_disp, cached)
+
     def _run_window_batch(self, lefts: jax.Array, rights: jax.Array):
         """lefts/rights: (B, T, H, W, 3). Returns a tuple of
         (B, T, H, W, 1) outputs (disparity [, uncertainty])."""
@@ -414,14 +455,31 @@ class SlidingWindowPredictor:
         if self.warm_window_fn is not None:
             # warm-start mode: each window seeded by the last, chained on
             # device — dispatches enqueue without host syncs and fetches
-            # overlap later windows' compute
+            # overlap later windows' compute. With encoder_cache, the
+            # per-frame feature cache chains alongside the seed.
             prev_start, prev_disp = None, None
-            for i, wlen, lw, rw in jobs:
+            cache, n_ov = None, 0
+            for idx, (i, wlen, lw, rw) in enumerate(jobs):
+                keep_last = (
+                    max(0, i + wlen - jobs[idx + 1][0])
+                    if self.encoder_cache and idx + 1 < len(jobs) else 0
+                )
                 if prev_disp is None:
-                    outs = self._run_window(lw, rw)
+                    if self.encoder_cache:
+                        *outs, cache = self._run_window_cached(
+                            lw, rw, None, 0, keep_last
+                        )
+                    else:
+                        outs = self._run_window(lw, rw)
                 else:
                     ov = max(0, min(prev_start + prev_disp.shape[0] - i, wlen))
-                    outs = self._run_window_warm(lw, rw, prev_disp, ov)
+                    if self.encoder_cache:
+                        *outs, cache = self._run_window_warm_cached(
+                            lw, rw, prev_disp, ov, cache, n_ov, keep_last
+                        )
+                    else:
+                        outs = self._run_window_warm(lw, rw, prev_disp, ov)
+                n_ov = keep_last
                 prev_start, prev_disp = i, outs[0]
                 append_and_drain(
                     (i, wlen, tuple(stage(i, wlen, o) for o in outs))

@@ -116,9 +116,9 @@ class StereoVideoPredictor:
                     return out
                 return out, jnp.zeros_like(out)
 
-        enc_fn = body_fn = None
+        enc_fn = body_fn = warm_body_fn = None
         if encoder_cache:
-            # strict-parity encoder reuse across overlapping windows —
+            # parity-free encoder reuse across overlapping windows —
             # requires the model's per-frame encode/body split
             # (PPMStereo.encode_frames)
             def enc_fn(left, right):
@@ -132,12 +132,23 @@ class StereoVideoPredictor:
                     return out
                 return out, jnp.zeros_like(out)
 
+            if warm_start:
+                def warm_body_fn(left, right, flow_init, feats):
+                    out = self.model_warm.apply(
+                        self.params, left, right,
+                        flow_init=flow_init, feats=feats,
+                    )
+                    if isinstance(out, tuple):
+                        return out
+                    return out, jnp.zeros_like(out)
+
         self.predictor = SlidingWindowPredictor(
             window_fn, kernel_size=kernel_size, fast_mode=fast_mode,
             batch_windows=batch_windows, warm_window_fn=warm_fn,
             wire_dtype=jnp.float16 if wire_f16 else None,
             mesh=mesh,
             encode_window_fn=enc_fn, body_window_fn=body_fn,
+            warm_body_window_fn=warm_body_fn,
         )
 
     def _place_params(self, params):

@@ -291,6 +291,32 @@ class TestBatchedWindows:
             rtol=1e-5, atol=1e-5,
         )
 
+    @pytest.mark.slow
+    def test_encoder_cache_composes_with_warm_start(self):
+        """Warm windows re-encode their overlap too; with encoder_cache
+        the feature cache chains alongside the warm disparity seed
+        (one dispatch per window). Output must match plain warm mode."""
+        from ppmstereo_tpu.models.zoo import model_zoo
+
+        common = dict(
+            kernel_size=4, iters=2, warm_start=True, warm_iters=1,
+            mixed_precision=False, use_cnet=True, attention_type=None,
+            num_frames=4, top_k=2, force_xla_attention=True,
+        )
+        plain = model_zoo("PPMStereoModel", **common)
+        cached = model_zoo("PPMStereoModel", encoder_cache=True, **common)
+        cached.load_params(plain.params)
+        assert cached.predictor.encoder_cache
+
+        rng = np.random.default_rng(21)
+        video = rng.uniform(0, 255, (10, 2, 64, 96, 3)).astype(np.float32)
+        out_plain = plain({"stereo_video": video})
+        out_cached = cached({"stereo_video": video})
+        np.testing.assert_allclose(
+            out_cached["disparity"], out_plain["disparity"],
+            rtol=1e-5, atol=1e-5,
+        )
+
 
 class TestOddStrideStitch:
     @pytest.mark.parametrize("k,n", [(4, 10), (10, 40), (10, 13), (6, 17)])
