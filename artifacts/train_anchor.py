@@ -58,11 +58,17 @@ def main():
         # 0: inline data generation — one fewer failure mode (forked
         # DataLoader workers after the axon client's threads exist are
         # fork-unsafe), and synthetic generation is cheap next to the
-        # ~2 s step. NB the observed 52-min restart stall was ultimately
-        # the TPU grant wedged by SIGINT-killing the previous run (io
-        # counters showed zero tunnel traffic): after stopping a TPU
-        # process, WAIT for the grant to free (10-60 min) before
-        # relaunching, and never kill the relaunch for being slow.
+        # ~2 s step.
+        #
+        # LIVENESS RULE (learned the hard way — a healthy resumed run
+        # was killed at ~step 4200 after being misread as stalled):
+        # /proc/<pid>/io rchar/wchar do NOT count gRPC sendmsg/recvmsg,
+        # so the tunnel client looks io-idle while training at full
+        # speed, and the uint8-graph recompile takes 20-40 min with no
+        # output. The ONLY reliable liveness signals are the Orbax
+        # checkpoint dir mtimes (save_freq steps) and metrics.jsonl
+        # (flush gate fixed in logging_utils round 3). Wait at least
+        # one save_freq interval past compile before assuming a stall.
         num_workers=0,
         log_freq=50,
     )

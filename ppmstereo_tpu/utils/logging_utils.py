@@ -36,7 +36,11 @@ class MetricsLogger:
             v = float(v)
             self.running[k] = self.running.get(k, 0.0) + v
             self.counts[k] = self.counts.get(k, 0) + 1
-        if step % self.sum_freq == self.sum_freq - 1:
+        # trainers push every N steps (N = push_every, a divisor-friendly
+        # 10), so gate on `% == 0`: the reference's `% == freq-1` idiom
+        # (logger.py:46-57 pushes EVERY step) never fires here and left
+        # metrics.jsonl empty for whole runs
+        if step % self.sum_freq == 0:
             self.flush(step)
 
     def flush(self, step: int):

@@ -562,3 +562,19 @@ class TestWindowAlignment:
         assert d.shape == (12, 8, 8, 1)
         # aligned output should match the unbiased base closely
         np.testing.assert_allclose(d, np.abs(base), rtol=5e-2, atol=0.2)
+
+
+class TestMetricsLogger:
+    def test_periodic_flush_lands_on_push_grid(self, tmp_path):
+        """Trainers push every 10 steps; the periodic flush must fire on
+        that grid (regression: a `% == freq-1` gate never coincided with
+        pushes and left metrics.jsonl empty for entire training runs)."""
+        import json
+
+        from ppmstereo_tpu.utils.logging_utils import MetricsLogger
+
+        lg = MetricsLogger(str(tmp_path), sum_freq=50, tensorboard=False)
+        for s in range(10, 201, 10):
+            lg.push(s, {"loss": 1.0})
+        lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
+        assert [json.loads(l)["step"] for l in lines] == [50, 100, 150, 200]
