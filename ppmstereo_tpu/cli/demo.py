@@ -62,6 +62,11 @@ def main(argv=None):
                    help="chunk length for long videos (reference demo.py:75-93)")
     p.add_argument("--fps", type=int, default=20)
     p.add_argument("--save_npz", action="store_true")
+    p.add_argument(
+        "--model_kwargs", default="",
+        help='extra model-constructor kwargs as "k=v,k2=v2" '
+             "(literal-eval'd) — same contract as the evaluate CLI",
+    )
     args = p.parse_args(argv)
     _apply_platform(args.platform)
 
@@ -75,7 +80,12 @@ def main(argv=None):
 
     from ppmstereo_tpu.models.zoo import model_zoo
 
-    predictor = model_zoo(args.model, kernel_size=args.kernel_size, iters=args.iters)
+    from ppmstereo_tpu.cli.evaluate import _parse_model_kwargs
+
+    predictor = model_zoo(
+        args.model, kernel_size=args.kernel_size, iters=args.iters,
+        **_parse_model_kwargs(args.model_kwargs),
+    )
     if args.checkpoint:
         from ppmstereo_tpu.train.checkpoints import load_params
 
