@@ -247,9 +247,11 @@ def train(cfg: TrainConfig, loader=None, max_steps: int | None = None,
 
     logger = MetricsLogger(cfg.exp_dir, sum_freq=cfg.log_freq)
     limit = max_steps if max_steps is not None else cfg.num_steps
-    # metric fetches force a device sync; amortize over up to 10 steps,
-    # but never coarser than the requested flush interval
-    push_every = max(1, min(10, cfg.log_freq))
+    # metric fetches force a device sync; amortize up to the flush
+    # interval (cap 50). On a degraded remote tunnel each d2h fetch can
+    # stall minutes (observed killing a run's throughput at fetch-every-
+    # 10), so fetch as rarely as the logging cadence allows.
+    push_every = max(1, min(50, cfg.log_freq))
     t_last = time.perf_counter()
 
     import gc
