@@ -60,7 +60,7 @@ def test_warm_start_windowing():
 def test_warm_budget_vs_anchor():
     """Accuracy BUDGET for the sanctioned warm fast path, asserted
     against the standing anchor checkpoint (checkpoints/anchor_r3.npz —
-    8k steps at the reference recipe, artifacts/train_anchor.py): warm
+    5k steps at the reference recipe, artifacts/train_anchor.py): warm
     EPE <= +15% of strict-parity EPE and warm TEPE <= strict + 10% on a
     held-out synthetic sequence. Replaces the round-2 vacuous
     `2x + 1` random-weights bound (VERDICT r2 weak #3). Runs at reduced
