@@ -2,7 +2,7 @@
 checkpoint (round-3 VERDICT item 3a).
 
 Replaces artifacts/warm_epe_experiment.py's 400-step/2-sequence version:
-loads the standing anchor (checkpoints/anchor_r3.npz — 8k steps at the
+loads the standing anchor (checkpoints/anchor_r3.npz — 5k steps at the
 reference hyperparameters, artifacts/train_anchor.py) and evaluates all
 four windowing modes on >= 10 held-out synthetic sequences at the
 training resolution. The strict-parity row is the STANDING ACCURACY

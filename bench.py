@@ -1,6 +1,6 @@
 """Benchmark: frames/s/chip for PPMStereo sliding-window inference.
 
-Prints ONE JSON line:
+Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
 
 Config ladder (BASELINE.json "configs"), selected with BENCH_CONFIG:
@@ -11,16 +11,41 @@ vs_baseline compares against an A100 estimate for the PyTorch reference
 derived in BASELINE.md terms: the reference publishes no numbers and no
 GPU is available here, so the baseline is a roofline-based estimate
 documented in BENCH_NOTES.md (updated when better evidence exists).
+
+Survivability (round-4 hardening): the axon TPU tunnel degrades by the
+hour (BENCH_NOTES "Tunnel characterization" — 300 s d2h stalls, 1285 s
+compile-cache loads were measured in round 3, and the round-3 driver
+bench timed out with no output at all). This bench therefore:
+  * runs a watchdog thread with an internal deadline (BENCH_DEADLINE_S,
+    default 420 s) that emits the best measurement recorded so far with
+    "degraded": true and force-exits BEFORE any external timeout;
+  * handles SIGTERM/SIGINT the same way (for when the external timeout
+    is shorter than the deadline);
+  * measures progressively — a single-window device-side number lands
+    in the emittable record before the full end-to-end passes start;
+  * falls back to the last committed good run (BENCH_LAST_GOOD.json,
+    flagged "stale": true) if killed before ANY measurement completes —
+    e.g. a cold compile cache on a day the compile service takes 20 min;
+  * uses a persistent XLA compilation cache inside the repo
+    (.jax_cache/) that this session pre-warms, so the driver's run
+    skips compiles entirely on a healthy day.
+Stdout carries exactly one JSON line no matter which path fires; all
+progress chatter goes to stderr.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_LAST_GOOD_PATH = os.path.join(_REPO, "BENCH_LAST_GOOD.json")
 
 # A100 reference fps/GPU estimates for the matching STRICT-parity config
 # (see BENCH_NOTES.md). Non-parity modes (warm, fast) carry the mode in
@@ -32,10 +57,119 @@ A100_BASELINE_FPS = {
     "full_k10": 1.3,  # 720p, kernel 10, iters 20 (reduced-memory fallback)
 }
 
+# ---------------------------------------------------------------------------
+# Emission machinery: one JSON line on stdout, exactly once, no matter how
+# the process dies (normal exit, watchdog deadline, SIGTERM from an
+# external `timeout`).
+# ---------------------------------------------------------------------------
+
+_BEST: dict = {}          # best record so far; mutated as phases complete
+_LOCK = threading.Lock()
+_PRINTED = threading.Event()
+_T_START = time.monotonic()
+
+
+def _log(msg: str) -> None:
+    print(f"# [{time.monotonic() - _T_START:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _load_last_good() -> dict | None:
+    try:
+        with open(_LAST_GOOD_PATH) as f:
+            rec = json.load(f)
+        return rec if isinstance(rec, dict) and "value" in rec else None
+    except Exception:
+        return None
+
+
+def _save_last_good(rec: dict) -> None:
+    try:
+        with open(_LAST_GOOD_PATH, "w") as f:
+            json.dump(rec, f, indent=1)
+            f.write("\n")
+    except Exception as e:  # noqa: BLE001 - best-effort persistence
+        _log(f"could not persist last-good record: {e}")
+
+
+def _emit(final: bool) -> None:
+    """Print the single JSON result line (idempotent)."""
+    with _LOCK:
+        if _PRINTED.is_set():
+            return
+        if _BEST:
+            rec = dict(_BEST)
+            if not final:
+                rec["degraded"] = True
+        else:
+            # Killed before any measurement completed (e.g. cold-cache
+            # compile exceeded the deadline): fall back to the last
+            # committed good run so the driver still gets a parseable,
+            # clearly-flagged line instead of nothing.
+            rec = _load_last_good()
+            if rec is not None:
+                rec = dict(rec)
+                rec["degraded"] = True
+                rec["stale"] = True
+            else:
+                rec = {
+                    "metric": "ppmstereo_bench_incomplete",
+                    "value": 0.0,
+                    "unit": "frames/s/chip",
+                    "vs_baseline": None,
+                    "degraded": True,
+                    "error": ("no measurement completed before the "
+                              "deadline and no BENCH_LAST_GOOD.json"),
+                }
+        _PRINTED.set()
+        print(json.dumps(rec), flush=True)
+
+
+def _watchdog(deadline_s: float) -> None:
+    # A daemon thread, not a signal handler: a SIGALRM/SIGTERM handler
+    # only runs when the MAIN thread returns to the bytecode loop, which
+    # never happens while it is blocked inside a tunnel RPC — exactly the
+    # failure mode being defended against. os._exit from this thread
+    # terminates the process regardless of what the main thread is doing.
+    remaining = deadline_s - (time.monotonic() - _T_START)
+    if remaining > 0:
+        time.sleep(remaining)
+    if _PRINTED.is_set():
+        return
+    _log(f"watchdog: deadline {deadline_s:.0f}s hit — emitting best-so-far")
+    _emit(final=False)
+    sys.stdout.flush()
+    os._exit(0)
+
+
+def _signal_exit(signum, frame):  # noqa: ARG001
+    _log(f"signal {signum} — emitting best-so-far")
+    _emit(final=False)
+    sys.stdout.flush()
+    os._exit(0)
+
+
+def _deadline_left(deadline_s: float) -> float:
+    return deadline_s - (time.monotonic() - _T_START)
+
+
+# ---------------------------------------------------------------------------
+
 
 def main():
-    # persistent XLA compilation cache: repeated bench runs skip compiles
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    # persistent XLA compilation cache: repeated bench runs skip compiles.
+    # Inside the repo (gitignored) so it survives anything that preserves
+    # the working tree; this session pre-warms it for the driver's run.
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache")
+    )
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "420"))
+    threading.Thread(
+        target=_watchdog, args=(deadline_s,), daemon=True
+    ).start()
+    signal.signal(signal.SIGTERM, _signal_exit)
+    signal.signal(signal.SIGINT, _signal_exit)
+
     config = os.environ.get("BENCH_CONFIG", "short")
     if config == "full":
         # BASELINE config #3 exactly: 720p, kernel_size=20, iters=20.
@@ -54,6 +188,11 @@ def main():
         # Non-parity; EPE impact quantified in tests/test_warm_start.py
         # and BENCH_NOTES.md.
         h, w, t_window, iters = 720, 1280, 20, 20
+    elif config == "tiny":
+        # self-test config (not a BASELINE row): exercises every phase of
+        # the bench machinery in seconds on CPU — used by
+        # tests/test_bench_contract.py
+        h, w, t_window, iters = 64, 96, 4, 2
     else:
         h, w, t_window, iters = 320, 512, 10, 10
     warm_start = config == "full_warm"
@@ -142,77 +281,8 @@ def main():
         warm_body_window_fn=warm_body_fn,
     )
 
-    # warmup (compile): run the exact measured workload once so every
-    # window-shape/batch-group graph it needs is compiled. The remote
-    # compile service throws transient INTERNAL/UNAVAILABLE errors under
-    # load; retry the warmup a few times before giving up so one flake
-    # doesn't void a bench run (successful compiles land in the
-    # persistent cache, so retries only redo the failed graph).
-    for attempt in range(3):
-        try:
-            _ = predictor(video)
-            break
-        except Exception as e:  # noqa: BLE001 - backend errors aren't typed
-            msg = str(e)
-            transient = any(s in msg for s in
-                            ("remote_compile", "UNAVAILABLE", "INTERNAL"))
-            if not transient or attempt == 2:
-                raise
-            # stderr: stdout carries exactly ONE JSON line (the contract)
-            print(f"# warmup compile flake (attempt {attempt + 1}): "
-                  f"{msg.splitlines()[0][:120]}", file=sys.stderr, flush=True)
-            time.sleep(20)
-
-    # best of 2 timed passes: the tunnel's transfer rate varies by the
-    # minute (BENCH_NOTES "Tunnel characterization"); min-over-reps is
-    # the standard latency-bench idiom and what the device can actually do
-    dt = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        out = predictor(video)
-        dt = min(dt, time.perf_counter() - t0)
-    n_out = len(out["disparity"])
-
-    # device-side decomposition: time the steady-state window graph alone
-    # (block_until_ready, min of 2 reps — the cached jit from the run
-    # above) so tunnel-transfer drift is diagnosable round-over-round
-    # (the axon tunnel moves ~15-25 MB/s and varies by the hour; see
-    # BENCH_NOTES.md "Tunnel characterization").
-    stride = t_window if fast_mode else t_window // 2
-    starts = [
-        i for i in range(0, n_frames, stride)
-        if i == 0 or min(i + t_window, n_frames) - i >= stride
-    ]
-    dleft = jnp.asarray(video[:t_window, 0])
-    dright = jnp.asarray(video[:t_window, 1])
-    device_s = []
-    for _ in range(2):
-        td = time.perf_counter()
-        outs = predictor._run_window(dleft, dright)
-        jax.block_until_ready(outs)
-        device_s.append(time.perf_counter() - td)
-    device_s_per_window = min(device_s)
-    warm_s_per_window = None
-    if warm_start and len(starts) > 1:
-        prev = outs[0]
-        for _ in range(2):
-            td = time.perf_counter()
-            wouts = predictor._run_window_warm(
-                dleft, dright, prev, t_window - stride
-            )
-            jax.block_until_ready(wouts)
-            warm_s_per_window = min(
-                warm_s_per_window or 1e9, time.perf_counter() - td
-            )
-
-    if warm_start:
-        compute_s = device_s_per_window + warm_s_per_window * (len(starts) - 1)
-    else:
-        compute_s = device_s_per_window * len(starts)
-
-    fps = n_out / dt
-    # metric name carries the parity mode; vs_baseline is strict-to-strict
-    # only (non-parity modes report null)
+    # metric naming: carries the parity mode; vs_baseline is
+    # strict-to-strict only (non-parity modes report null)
     tags = ""
     if warm_start:
         tags += "_warm"
@@ -222,30 +292,143 @@ def main():
         tags += "_nonparity"
     base_cfg = "full" if config == "full_warm" else config
     strict = not tags
-    baseline = A100_BASELINE_FPS[base_cfg]
-    record = {
-        "metric": (
-            f"ppmstereo_{base_cfg}_{h}x{w}_k{t_window}_i{iters}{tags} "
-            "frames/s/chip"
-        ),
-        "value": round(fps, 3),
-        "unit": "frames/s/chip",
-        "vs_baseline": round(fps / baseline, 3) if strict else None,
-        "wall_s": round(dt, 3),
-        "n_frames_out": n_out,
-        "n_windows": len(starts),
-        "device_s_per_window": round(device_s_per_window, 3),
-        "device_s_per_warm_window": (
-            round(warm_s_per_window, 3) if warm_s_per_window else None
-        ),
-        "transfer_overhead_s": round(max(0.0, dt - compute_s), 3),
-        "uncertainty_fetched": fetch_unc,
-        # NB: device_s_per_window times the UNCACHED window graph; with
-        # encoder_cache the steady-state windows are cheaper, so
-        # transfer_overhead_s is a lower bound in that mode
-        "encoder_cache": enc_cache,
-    }
-    print(json.dumps(record))
+    baseline = A100_BASELINE_FPS.get(base_cfg)  # None for `tiny`
+    metric = (
+        f"ppmstereo_{base_cfg}_{h}x{w}_k{t_window}_i{iters}{tags} "
+        "frames/s/chip"
+    )
+    stride = t_window if fast_mode else t_window // 2
+    # window schedule diagnostics: mirror the predictor's own job logic —
+    # in fast mode short tails are kept, otherwise sub-stride tails merge
+    # into the preceding window
+    starts = [
+        i for i in range(0, n_frames, stride)
+        if i == 0 or fast_mode
+        or min(i + t_window, n_frames) - i >= stride
+    ]
+
+    # ---- Phase A: single-window device-side measurement ----------------
+    # The minimal number that makes the round's bench non-null: compile
+    # (or cache-load) + run ONE window, block_until_ready. Lands in _BEST
+    # before the end-to-end passes start, so a watchdog fire after this
+    # point reports a real measured value.
+    _log(f"phase A: single-window device measurement ({config})")
+    dleft = jnp.asarray(video[:t_window, 0])
+    dright = jnp.asarray(video[:t_window, 1])
+    t0 = time.monotonic()
+    outs = predictor._run_window(dleft, dright)
+    jax.block_until_ready(outs)
+    first_s = time.monotonic() - t0
+    _log(f"phase A: first window (incl. compile/cache-load) {first_s:.1f}s")
+    t0 = time.monotonic()
+    outs = predictor._run_window(dleft, dright)
+    jax.block_until_ready(outs)
+    device_s_per_window = time.monotonic() - t0
+    _log(f"phase A: steady device window {device_s_per_window:.2f}s")
+    # Kept-frames accounting at the strict stitch: interior windows
+    # contribute `stride` new frames each; a window in isolation keeps
+    # all t_window. Report the steady-state marginal rate (stride frames
+    # per window) — the honest long-video asymptote.
+    with _LOCK:
+        _BEST.update({
+            "metric": metric,
+            "value": round(stride / device_s_per_window, 3),
+            "unit": "frames/s/chip",
+            "vs_baseline": (
+                round(stride / device_s_per_window / baseline, 3)
+                if strict and baseline else None
+            ),
+            "partial": "device_only_single_window",
+            "device_s_per_window": round(device_s_per_window, 3),
+            "first_window_s": round(first_s, 3),
+            "n_windows": len(starts),
+            "uncertainty_fetched": fetch_unc,
+            "encoder_cache": enc_cache,
+        })
+
+    warm_s_per_window = None
+    if warm_start and _deadline_left(deadline_s) > 3 * first_s:
+        prev = outs[0]
+        for _ in range(2):
+            td = time.monotonic()
+            wouts = predictor._run_window_warm(
+                dleft, dright, prev, t_window - stride
+            )
+            jax.block_until_ready(wouts)
+            warm_s_per_window = min(
+                warm_s_per_window or 1e9, time.monotonic() - td
+            )
+        _log(f"phase A: warm window {warm_s_per_window:.2f}s")
+        with _LOCK:
+            _BEST["device_s_per_warm_window"] = round(warm_s_per_window, 3)
+            _BEST["value"] = round(stride / warm_s_per_window, 3)
+
+    # ---- Phase B: end-to-end passes ------------------------------------
+    # Pass 1 doubles as the warmup for any remaining graph shapes (tail
+    # windows, batch groups) AND a timed sample; pass 2 refines with the
+    # min-over-reps idiom if the deadline allows. The remote compile
+    # service throws transient INTERNAL/UNAVAILABLE under load — retry.
+    if warm_start:
+        compute_s = (
+            device_s_per_window
+            + (warm_s_per_window or device_s_per_window) * (len(starts) - 1)
+        )
+    else:
+        compute_s = device_s_per_window * len(starts)
+
+    dt = float("inf")
+    n_out = None
+    n_passes = 2 if _deadline_left(deadline_s) > 4 * compute_s else 1
+    for p in range(n_passes):
+        if p > 0 and _deadline_left(deadline_s) < 2.5 * dt:
+            _log("phase B: skipping further passes (deadline)")
+            break
+        for attempt in range(3):
+            try:
+                t0 = time.monotonic()
+                out = predictor(video)
+                dt = min(dt, time.monotonic() - t0)
+                break
+            except Exception as e:  # noqa: BLE001 - backend errors untyped
+                msg = str(e)
+                transient = any(s in msg for s in
+                                ("remote_compile", "UNAVAILABLE", "INTERNAL"))
+                if not transient or attempt == 2:
+                    raise
+                _log(f"e2e pass flake (attempt {attempt + 1}): "
+                     f"{msg.splitlines()[0][:120]}")
+                time.sleep(20)
+        n_out = len(out["disparity"])
+        fps = n_out / dt
+        _log(f"phase B: pass {p + 1}: {dt:.1f}s e2e, {fps:.3f} fps")
+        with _LOCK:
+            _BEST.update({
+                "value": round(fps, 3),
+                "vs_baseline": (
+                    round(fps / baseline, 3)
+                    if strict and baseline else None
+                ),
+                "wall_s": round(dt, 3),
+                "n_frames_out": n_out,
+                "transfer_overhead_s": round(max(0.0, dt - compute_s), 3),
+                # NB: device_s_per_window times the UNCACHED window
+                # graph; with encoder_cache the steady-state windows are
+                # cheaper, so transfer_overhead_s is a lower bound there
+            })
+            _BEST.pop("partial", None)
+            if p == 0 and n_passes > 1:
+                _BEST["partial"] = "single_e2e_pass"
+
+    with _LOCK:
+        _BEST.pop("partial", None)
+        final_rec = dict(_BEST)
+    # persist for the stale-fallback path ONLY on a full, healthy run of
+    # a real config (the tiny self-test must not pollute the fallback)
+    if config != "tiny":
+        _save_last_good(
+            {**final_rec, "measured_at": time.strftime("%Y-%m-%d")}
+        )
+    _emit(final=True)
 
 
 if __name__ == "__main__":

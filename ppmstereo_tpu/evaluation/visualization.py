@@ -88,3 +88,91 @@ def render_prediction_views(
     depth = disparity_to_depth(disparity, focal_px, baseline)
     pts, cols = depth_to_pcd(depth, image, focal_px)
     return [render_pcd(pts, cols, disparity.shape, focal_px, a) for a in angles]
+
+
+def variance_masked_mean(
+    frames: np.ndarray, threshold: float = 40.0
+) -> np.ndarray:
+    """Temporal mean of rendered views with high-variance pixels painted
+    red — flicker/instability shows as red regions.
+
+    Mirrors the reference's mean/var visualization
+    (evaluation/utils/utils.py:391-408: `var_mask = (var*255) > 40`,
+    masked pixels replaced by a red mask). NB the reference COMPUTES its
+    `mean_img_filter` and then never writes it anywhere (dead value);
+    here it is a real output written by save_reconstruction_views.
+
+    frames: (T, H, W, 3) uint8 or float in [0, 1]/[0, 255].
+    """
+    x = np.asarray(frames, np.float32)
+    if x.max() > 1.5:  # uint8-scaled input -> [0, 1]
+        x = x / 255.0
+    mean = x.mean(axis=0)
+    var = x.var(axis=0)
+    # per-channel masking exactly as the reference composes it:
+    # mean * ~mask + red * mask, red = (1, 0, 0)
+    var_mask = (var * 255.0) > threshold
+    red = np.array([1.0, 0.0, 0.0], np.float32)
+    out = mean * ~var_mask + red * var_mask
+    return (out * 255.0).astype(np.uint8)
+
+
+def save_reconstruction_views(
+    disparity: np.ndarray, images: np.ndarray, out_dir: str,
+    sequence_name: str = "seq", focal_px: float = 500.0,
+    baseline: float = 0.1, fps: int = 10,
+) -> dict:
+    """Render the reference's three reconstruction modes over a sequence
+    (angle_15 / angle_-15 / changing_angle — utils.py:351-362) and write
+    one mp4 + one variance-masked mean png per mode.
+
+    disparity: (T, H, W); images: (T, H, W, 3) uint8. Returns
+    {mode: mp4_path}. cv2 is optional — without it only the pngs (via
+    raw .npy fallback) are written.
+    """
+    import math
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    t_len = len(disparity)
+    modes = {
+        "angle_15": [15.0] * t_len,
+        "angle_-15": [-15.0] * t_len,
+        "changing_angle": [
+            math.cos(math.pi * (t / 15)) * 15 for t in range(t_len)
+        ],
+    }
+    written = {}
+    for mode, angles in modes.items():
+        frames = []
+        for t in range(t_len):
+            depth = disparity_to_depth(disparity[t], focal_px, baseline)
+            pts, cols = depth_to_pcd(depth, images[t], focal_px)
+            frames.append(
+                render_pcd(pts, cols, disparity[t].shape, focal_px,
+                           angles[t])
+            )
+        frames = np.stack(frames)
+        masked = variance_masked_mean(frames)
+        base = os.path.join(
+            out_dir, f"{sequence_name}_reconstruction_mode_{mode}"
+        )
+        try:
+            import cv2
+
+            h, w = frames.shape[1:3]
+            vw = cv2.VideoWriter(
+                base + ".mp4", cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+            )
+            for fr in frames:
+                vw.write(cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
+            vw.release()
+            cv2.imwrite(
+                base + "_varmask.png", cv2.cvtColor(masked, cv2.COLOR_RGB2BGR)
+            )
+            written[mode] = base + ".mp4"
+        except Exception:
+            np.save(base + ".npy", frames)
+            np.save(base + "_varmask.npy", masked)
+            written[mode] = base + ".npy"
+    return written

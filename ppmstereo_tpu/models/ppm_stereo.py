@@ -57,7 +57,56 @@ from ppmstereo_tpu.ops.upsample import convex_upsample_2d, convex_upsample_3d
 # target frames in chunks instead of one batched gather+attention.
 # 1.5e9 bf16 elements ~= 3 GB — fits v5e HBM with room for the rest of the
 # window graph; chunking only engages for 720p 20-frame windows.
-_PLAY_CHUNK_BUDGET = 1_500_000_000
+# Reference chunk budget: 1.5e9 gathered-bank elements (~3 GB bf16)
+# empirically fits the 720p/k20 pick alongside the rest of the window's
+# live set on a 16 GiB v5e. Other HBM sizes scale linearly from it via
+# _play_chunk_budget() below.
+_PLAY_CHUNK_BUDGET_16G = 1_500_000_000
+
+# device-kind -> HBM GiB, for runtimes whose memory_stats() is None
+# (e.g. the axon tunnel backend)
+_DEVICE_HBM_GIB = {
+    "v5 lite": 16, "v5e": 16, "v5litepod": 16,
+    "v4": 32, "v3": 32, "v2": 16,
+    "v5p": 95, "v5": 95,
+    "v6 lite": 32, "v6e": 32, "trillium": 32,
+}
+
+
+def _play_chunk_budget() -> int:
+    """Gathered-bank element budget for chunking the play pick, derived
+    from the local device's HBM: PPM_CHUNK_BUDGET_ELEMS env override >
+    memory_stats()['bytes_limit'] > device-kind table > 16 GiB default.
+    Cached after first resolution (called during every trace)."""
+    global _PLAY_CHUNK_BUDGET_CACHE
+    if _PLAY_CHUNK_BUDGET_CACHE is not None:
+        return _PLAY_CHUNK_BUDGET_CACHE
+    import os
+
+    budget = None
+    env = os.environ.get("PPM_CHUNK_BUDGET_ELEMS")
+    if env:
+        budget = int(float(env))
+    if budget is None:
+        try:
+            d = jax.devices()[0]
+            stats = d.memory_stats()
+            if stats and stats.get("bytes_limit"):
+                gib = stats["bytes_limit"] / 2**30
+            else:
+                kind = getattr(d, "device_kind", "").lower()
+                gib = next(
+                    (v for pat, v in _DEVICE_HBM_GIB.items() if pat in kind),
+                    16,
+                )
+            budget = int(_PLAY_CHUNK_BUDGET_16G * gib / 16)
+        except Exception:
+            budget = _PLAY_CHUNK_BUDGET_16G
+    _PLAY_CHUNK_BUDGET_CACHE = budget
+    return budget
+
+
+_PLAY_CHUNK_BUDGET_CACHE: int | None = None
 
 
 def _chunk_sizes(t: int, max_rows: int) -> list[int]:
@@ -69,10 +118,21 @@ def _chunk_sizes(t: int, max_rows: int) -> list[int]:
     return [base + 1] * extra + [base] * (n - extra)
 
 
+_AMBIENT_MESH_WARNED = False
+
+
 def _ambient_mesh_axis(name: str) -> str | None:
     """The ambient (context-manager) mesh's axis `name`, or None when
     there is no mesh / no such axis / the axis has size 1. Lets model
     code emit sharding hints only when tracing under `with mesh:`."""
+    # public path first: reflects jax.sharding.set_mesh/use_abstract_mesh
+    # scopes (but NOT the legacy `with mesh:` manager as of jax 0.9)
+    try:
+        m = jax.sharding.get_abstract_mesh()
+        if not m.empty and name in m.axis_names:
+            return name if m.shape[name] > 1 else None
+    except Exception:
+        pass
     try:
         from jax._src.mesh import thread_resources
 
@@ -81,6 +141,25 @@ def _ambient_mesh_axis(name: str) -> str | None:
             return None
         return name
     except Exception:
+        # A JAX upgrade moving the private thread_resources would
+        # silently disable the bank-replication hint and reintroduce
+        # ~15x per-iteration ICI traffic (comm_model.py) — warn LOUDLY
+        # once instead of failing silently.
+        global _AMBIENT_MESH_WARNED
+        if not _AMBIENT_MESH_WARNED:
+            _AMBIENT_MESH_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "ppmstereo_tpu: jax._src.mesh.thread_resources is gone in "
+                "this JAX version — the memory-bank replication sharding "
+                "hint is DISABLED under `with mesh:` scopes (expect ~15x "
+                "per-iteration ICI traffic on seq-sharded windows). Use "
+                "jax.sharding.set_mesh(...) scopes instead, or update "
+                "_ambient_mesh_axis.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return None
 
 
@@ -254,15 +333,16 @@ class PPMUpdateLoop(nn.Module):
             )
             return out.reshape(b, r, h, w, c)
 
+        chunk_budget = _play_chunk_budget()
         bank_elems = b * t * k * h * w * 2 * c
-        if bank_elems <= _PLAY_CHUNK_BUDGET:
+        if bank_elems <= chunk_budget:
             return rows(query_pe, idx, score_norm).astype(cfg.dtype)
 
         # chunk the target-frame axis to bound the gathered bank size;
         # balanced sizes (20 rows at budget 19 -> 10+10, not 19+1; 7 at
         # budget 3 -> 3+2+2): a near-empty straggler would compile an
         # extra grid shape and run a mostly-padded kernel
-        rows_per = max(1, _PLAY_CHUNK_BUDGET // max(b * k * h * w * 2 * c, 1))
+        rows_per = max(1, chunk_budget // max(b * k * h * w * 2 * c, 1))
         outs = []
         s = 0
         for size in _chunk_sizes(t, rows_per):

@@ -251,7 +251,14 @@ def train(cfg: TrainConfig, loader=None, max_steps: int | None = None,
     # interval (cap 50). On a degraded remote tunnel each d2h fetch can
     # stall minutes (observed killing a run's throughput at fetch-every-
     # 10), so fetch as rarely as the logging cadence allows.
-    push_every = max(1, min(50, cfg.log_freq))
+    # push_every must DIVIDE log_freq or the logger's `step % sum_freq`
+    # flush gate only fires at lcm(push_every, log_freq) — pick the
+    # largest divisor of log_freq that is <= 50
+    push_every = max(
+        (d for d in range(1, min(50, cfg.log_freq) + 1)
+         if cfg.log_freq % d == 0),
+        default=1,
+    )
     t_last = time.perf_counter()
 
     import gc
@@ -259,7 +266,9 @@ def train(cfg: TrainConfig, loader=None, max_steps: int | None = None,
     def _wire(k, v):
         v = np.asarray(v)
         if cfg.wire_uint8 and k in ("left", "right"):
-            v = np.clip(v, 0, 255).astype(np.uint8)
+            # rint before the cast: astype truncates toward zero, which
+            # would bias augmented float images up to 1 LSB downward
+            v = np.clip(np.rint(v), 0, 255).astype(np.uint8)
         return v
 
     done = False

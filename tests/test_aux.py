@@ -173,3 +173,34 @@ def test_pallas_flash_bwd_matches_xla_grads():
                 np.asarray(got, np.float32), np.asarray(ref, np.float32),
                 rtol=tol, atol=tol, err_msg=name,
             )
+
+
+def test_variance_masked_mean_and_reconstruction_views(tmp_path):
+    from ppmstereo_tpu.evaluation.visualization import (
+        save_reconstruction_views,
+        variance_masked_mean,
+    )
+
+    rng = np.random.default_rng(2)
+    # static background + one hard-flickering patch -> red exactly there
+    # (0/255 alternation: var = 0.25 in [0,1] scale, over the reference's
+    # threshold 40/255 ~ 0.157; uniform noise at var ~ 0.083 would NOT
+    # trip it — the reference flags only strong instability)
+    frames = np.full((6, 16, 20, 3), 128, np.uint8)
+    frames[:, 4:8, 5:9] = 0
+    frames[::2, 4:8, 5:9] = 255
+    out = variance_masked_mean(frames, threshold=40.0)
+    assert out.shape == (16, 20, 3) and out.dtype == np.uint8
+    # static region: the mean, unmasked
+    assert (out[0, 0] == 128).all()
+    # flicker region: red channel forced to 255, g/b to 0 (per-channel
+    # composition, reference utils.py:391-408)
+    assert (out[4:8, 5:9, 1:] == 0).all()
+
+    disp = rng.uniform(5, 50, (3, 24, 32)).astype(np.float32)
+    imgs = rng.integers(0, 255, (3, 24, 32, 3)).astype(np.uint8)
+    written = save_reconstruction_views(disp, imgs, str(tmp_path), "t")
+    assert set(written) == {"angle_15", "angle_-15", "changing_angle"}
+    import os
+
+    assert all(os.path.exists(p) for p in written.values())

@@ -124,8 +124,39 @@ def test_play_chunked_matches_unchunked(monkeypatch):
 
     # bank at 1/4 of 64x128 with t=4,k=2,2c: 4*2*16*32*256 = 1,048,576
     # elements; budget below that forces >=2 chunks at every scale
-    monkeypatch.setattr(ppm, "_PLAY_CHUNK_BUDGET", 600_000)
+    monkeypatch.setattr(ppm, "_PLAY_CHUNK_BUDGET_CACHE", 600_000)
     got = model.apply(params, left, right)
     np.testing.assert_allclose(
         np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-5, atol=1e-5
     )
+
+
+def test_play_chunk_budget_scales_with_hbm(monkeypatch):
+    """The chunk budget derives from the local device's HBM (VERDICT r3
+    item 7): a 16 GiB and a 32 GiB budget must chunk the 720p/k20
+    production bank DIFFERENTLY (the fixed v5e constant under-chunked
+    nothing on larger parts and OOMed smaller ones)."""
+    import ppmstereo_tpu.models.ppm_stereo as ppm
+
+    # env override wins and resets per-test via the cache
+    monkeypatch.setattr(ppm, "_PLAY_CHUNK_BUDGET_CACHE", None)
+    monkeypatch.setenv("PPM_CHUNK_BUDGET_ELEMS", "1.5e9")
+    b16 = ppm._play_chunk_budget()
+    monkeypatch.setattr(ppm, "_PLAY_CHUNK_BUDGET_CACHE", None)
+    monkeypatch.setenv("PPM_CHUNK_BUDGET_ELEMS", "3e9")
+    b32 = ppm._play_chunk_budget()
+    assert b32 == 2 * b16
+
+    # 720p/k20 1/4-scale pick: b=1, t=20, k=5, h=184, w=320, 2 tensors,
+    # c=128 -> 1.507e9 elements: 2 chunks at the 16 GiB budget, 1 at 32
+    b, t, k, h, w, c = 1, 20, 5, 184, 320, 128
+    per_row = b * k * h * w * 2 * c
+    n16 = len(ppm._chunk_sizes(t, max(1, b16 // per_row)))
+    n32 = len(ppm._chunk_sizes(t, max(1, b32 // per_row)))
+    assert n16 == 2 and n32 == 1
+
+    # device-kind table fallback resolves on whatever backend runs the
+    # suite without raising, and returns a positive budget
+    monkeypatch.setattr(ppm, "_PLAY_CHUNK_BUDGET_CACHE", None)
+    monkeypatch.delenv("PPM_CHUNK_BUDGET_ELEMS", raising=False)
+    assert ppm._play_chunk_budget() > 0
