@@ -19,7 +19,7 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import numpy as np
 
@@ -139,15 +139,25 @@ def main():
               f"tepe {tepe:7.4f} ({100*(tepe/strict_tepe-1):+5.1f}%)  "
               f"bad1px {bad1:5.2f}%", flush=True)
 
+    record = {
+        "anchor": ANCHOR,
+        "anchor_steps": os.environ.get("ANCHOR_STEPS_LABEL"),
+        "hw": [H, W], "frames": EVAL_FRAMES,
+        "seqs": EVAL_SEQS, "k": K, "iters": ITERS,
+        "warm_iters": WARM_ITERS, "table": table,
+    }
     out_path = os.path.join(REPO, "checkpoints", "anchor_epe_table.json")
     with open(out_path, "w") as f:
-        json.dump(
-            {"anchor": ANCHOR, "hw": [H, W], "frames": EVAL_FRAMES,
-             "seqs": EVAL_SEQS, "k": K, "iters": ITERS,
-             "warm_iters": WARM_ITERS, "table": table},
-            f, indent=1,
-        )
+        json.dump(record, f, indent=1)
     print(f"-> {out_path}")
+    # per-round accuracy artifact next to BENCH_rNN.json (VERDICT r3
+    # item 5): accuracy regressions become as visible round-over-round
+    # as perf ones
+    epe_out = os.environ.get("EPE_OUT")
+    if epe_out:
+        with open(epe_out, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"-> {epe_out}")
 
 
 if __name__ == "__main__":

@@ -89,9 +89,16 @@ def tally(hlo: str):
 
 
 def main():
-    cfg = PPMStereoConfig(mixed_precision=True, use_cnet=True)
+    # RING=1: ring play attention (cfg.ring_attention) instead of the
+    # picked-K/V all-gather — compare the per-iteration ICI bytes
+    ring = os.environ.get("RING", "0") == "1"
+    cfg = PPMStereoConfig(
+        mixed_precision=True, use_cnet=True, ring_attention=ring
+    )
     model = PPMStereo(cfg=cfg, iters=ITERS, test_mode=True)
-    mesh = make_mesh(MeshSpec(data=1, seq=SEQ, space=SPACE))
+    mesh = make_mesh(MeshSpec(data=1, seq=SEQ, space=SPACE), image_hw=(H, W))
+    if ring:
+        print("mode: RING play attention", flush=True)
     sh = NamedSharding(mesh, P(None, "seq", "space"))
     rep = NamedSharding(mesh, P())
 

@@ -7,7 +7,7 @@ shape. Sweep (block_q, block_k) with N kernel calls chained inside ONE
 jit (per-dispatch tunnel overhead is ~30 ms, same order as the kernel).
 """
 import os, time, itertools, math
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import numpy as np
 import jax
 import jax.numpy as jnp

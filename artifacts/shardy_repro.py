@@ -15,9 +15,18 @@ O(1)-wrong values when the operand is sharded on TWO mesh axes at once
   * with_sharding_constraint on the carry does not help
   * classic GSPMD partitioner (jax_use_shardy_partitioner=False): exact
 
-Production consequence: parallel/mesh.py pins classic GSPMD for
-multi-axis meshes; PPMStereoConfig.unroll_refinement_loop=True is the
-Shardy-exact formulation (gated by tests/test_sharding.py).
+Production consequence (round 3): parallel/mesh.py pinned classic GSPMD
+for multi-axis meshes; PPMStereoConfig.unroll_refinement_loop=True was
+the Shardy-exact formulation.
+
+ROUND-4 RESOLUTION (artifacts/shardy_probe_r4.py + shardy_bisect_loop_r4
+.py): lowering the conv as explicit jnp.pad + VALID partitions THIS
+repro exactly under Shardy — nn/common.py::Conv now always lowers that
+way, and the full scan-based model is Shardy-exact at every adequate
+shape. One residual trigger remains upstream: CHAINED convs in a scan
+body when a space shard of the operand is not larger than one conv's
+halo (e.g. 2 local rows vs a 7x7 conv's halo 3) — make_mesh falls back
+to classic GSPMD only inside that region (shardy_safe_shapes).
 
 Run: python artifacts/shardy_repro.py  (needs >=4 CPU devices)
 """

@@ -312,17 +312,42 @@ def main():
     # (or cache-load) + run ONE window, block_until_ready. Lands in _BEST
     # before the end-to-end passes start, so a watchdog fire after this
     # point reports a real measured value.
+    # open the d2h channel concurrently with the first compile: the
+    # FIRST device->host transfer of a fresh process stalls 10-300 s on
+    # a degraded tunnel (BENCH_NOTES "Tunnel characterization"); doing
+    # the scalar fetch on a side thread overlaps that stall with the
+    # window compile so neither phase A's timings nor the deadline pay
+    # for it twice
+    warm_t0 = time.monotonic()
+
+    def _open_d2h():
+        _ = float(jnp.zeros(()) + 1.0)
+        _log(f"d2h warmup fetch done at +{time.monotonic() - warm_t0:.1f}s")
+
+    d2h_thread = threading.Thread(target=_open_d2h, daemon=True)
+    d2h_thread.start()
+
     _log(f"phase A: single-window device measurement ({config})")
     dleft = jnp.asarray(video[:t_window, 0])
     dright = jnp.asarray(video[:t_window, 1])
+
+    def _sync(o):
+        # On the axon tunnel backend block_until_ready returns without
+        # waiting for remote execution; a scalar fetch of a device-side
+        # reduction is the only reliable sync (the pattern every
+        # artifacts/ timing script uses). The mean adds ~us of device
+        # work and 4 wire bytes.
+        return float(jnp.mean(o[0]))
+
     t0 = time.monotonic()
     outs = predictor._run_window(dleft, dright)
-    jax.block_until_ready(outs)
+    d2h_thread.join()  # stall absorbed; timings below are clean
+    _sync(outs)
     first_s = time.monotonic() - t0
     _log(f"phase A: first window (incl. compile/cache-load) {first_s:.1f}s")
     t0 = time.monotonic()
     outs = predictor._run_window(dleft, dright)
-    jax.block_until_ready(outs)
+    _sync(outs)
     device_s_per_window = time.monotonic() - t0
     _log(f"phase A: steady device window {device_s_per_window:.2f}s")
     # Kept-frames accounting at the strict stitch: interior windows
@@ -354,7 +379,7 @@ def main():
             wouts = predictor._run_window_warm(
                 dleft, dright, prev, t_window - stride
             )
-            jax.block_until_ready(wouts)
+            _sync(wouts)
             warm_s_per_window = min(
                 warm_s_per_window or 1e9, time.monotonic() - td
             )

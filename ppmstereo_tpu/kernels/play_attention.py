@@ -142,6 +142,124 @@ def _flash_kernel(
             l_out_ref[0] = l_ref[:]
 
 
+def _flash_carry_kernel(
+    q_ref, k_ref, v_ref, o0_ref, m0_ref, l0_ref,
+    o_out_ref, m_out_ref, l_out_ref, m_ref, l_ref, acc_ref,
+    *, scale, kv_len,
+):
+    """Flash attention hop WITH CARRY, for the ring play attention
+    (parallel/ring_attention.py): starts from an incoming UNNORMALIZED
+    (o, m, l) online-softmax state and emits the merged state instead of
+    a normalized output. m is the base-2 row max (matching _flash_kernel's
+    base-2 softmax); callers normalize o/l once after the last hop.
+    Same tiling/layout as _flash_kernel (lane-tiled m/l state)."""
+    k_idx = pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        m_ref[:] = m0_ref[0]
+        l_ref[:] = l0_ref[0]
+        acc_ref[:] = o0_ref[0]
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * (scale * _LOG2E)
+
+    blk_k = k.shape[0]
+    rem = kv_len % blk_k
+    if rem:
+        col = k_idx * blk_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_ref[:]
+    l_prev = l_ref[:]
+    m_cur = jnp.max(s, axis=1)[:, None]
+    m_new = jnp.maximum(m_prev, m_cur)
+
+    reps = s.shape[1] // _LANES
+    p = jnp.exp2(s - (jnp.tile(m_new, (1, reps)) if reps > 1 else m_new))
+    alpha = jnp.exp2(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+
+    d = acc_ref.shape[1]
+    d_tile = lambda x: jnp.tile(x, (1, d // _LANES)) if d > _LANES else x
+    acc_ref[:] = acc_ref[:] * d_tile(alpha) + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when(k_idx == num_k - 1)
+    def _finish():
+        o_out_ref[0] = acc_ref[:]
+        m_out_ref[0] = m_ref[:]
+        l_out_ref[0] = l_ref[:]
+
+
+def flash_attend_carry(
+    q, k, v, o, m, l, scale,
+    block_q: int | None = None, block_k: int | None = None,
+    interpret: bool = False,
+):
+    """One flash hop with carry: q (B,Lq,D) bf16, k/v (B,Lk,D) bf16,
+    o (B,Lq,D) f32, m/l (B,Lq,LANES) f32 lane tiles in BASE-2 domain.
+    Returns merged (o, m, l). Used per ring hop on TPU."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    default_q, default_k = _block_policy(q.shape[1], k.shape[1])
+    block_q = block_q or default_q
+    block_k = block_k or default_k
+    b, lq, d = q.shape
+    lk = k.shape[1]
+
+    pad_q = (-lq) % block_q
+    pad_k = (-lk) % block_k
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+        o = jnp.pad(o, ((0, 0), (0, pad_q), (0, 0)))
+        m = jnp.pad(m, ((0, 0), (0, pad_q), (0, 0)),
+                    constant_values=_NEG_INF)
+        l = jnp.pad(l, ((0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0)))
+    lq_p, lk_p = q.shape[1], k.shape[1]
+
+    q_spec = pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0))
+    k_spec = pl.BlockSpec((1, block_k, d), lambda bi, qi, ki: (bi, ki, 0))
+    r_spec = pl.BlockSpec(
+        (1, block_q, _LANES), lambda bi, qi, ki: (bi, qi, 0))
+    o_new, m_new, l_new = pl.pallas_call(
+        functools.partial(_flash_carry_kernel, scale=scale, kv_len=lk),
+        grid=(b, lq_p // block_q, lk_p // block_k),
+        in_specs=[q_spec, k_spec, k_spec, q_spec, r_spec, r_spec],
+        out_specs=[q_spec, r_spec, r_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lq_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, lq_p, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, lq_p, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, o, m, l)
+    if pad_q:
+        o_new = o_new[:, :lq]
+        m_new = m_new[:, :lq]
+        l_new = l_new[:, :lq]
+    return o_new, m_new, l_new
+
+
 def _pick_block_k(kv_len: int) -> int:
     """Largest well-measured block_k that divides kv_len, so the kernel
     compiles with NO key-padding mask: any in-kernel masking of the tail

@@ -151,8 +151,9 @@ class SlidingWindowPredictor:
         The caller must place the params the window_fn closes over as
         mesh-replicated arrays (jax.device_put(params, NamedSharding(
         mesh, P()))), and should build the mesh with
-        parallel.mesh.make_mesh (it pins the partitioner that compiles
-        the scanned loop correctly for multi-axis meshes)."""
+        parallel.mesh.make_mesh passing image_hw (it falls back to the
+        classic-GSPMD partitioner for shapes inside the residual Shardy
+        danger region — parallel/mesh.py::shardy_safe_shapes)."""
         self.window_fn = window_fn
         self.warm_window_fn = warm_window_fn
         self.kernel_size = kernel_size

@@ -163,6 +163,25 @@ def _ambient_mesh_axis(name: str) -> str | None:
         return None
 
 
+def _ambient_mesh():
+    """The ambient physical Mesh (from `with mesh:` / set_mesh scopes),
+    or None. Companion to _ambient_mesh_axis for code that needs the
+    Mesh object itself (shard_map)."""
+    try:
+        m = jax.sharding.get_mesh()
+        if m is not None and not m.empty:
+            return m
+    except Exception:
+        pass
+    try:
+        from jax._src.mesh import thread_resources
+
+        m = thread_resources.env.physical_mesh
+        return None if m.empty else m
+    except Exception:
+        return None
+
+
 def _replicate_bank_over_seq(x):
     """Memory-bank sharding hint for a (B, T, H, W, C) K/V bank under a
     seq(+space)-sharded window: replicate the frame axis T (ONE bf16
@@ -217,6 +236,15 @@ class PPMStereoConfig:
     # (activation memory: O(1) iterations instead of O(iters) — the
     # jax.checkpoint analog of the reference's 48GB-GPU requirement)
     remat: bool = True
+    # Under a space-sharded mesh, run the play attention as a RING over
+    # the `space` axis (parallel/ring_attention.py): the picked K/V stay
+    # sharded and the query blocks circulate with online-softmax state —
+    # ~2x fewer ICI bytes than all-gathering the k-times-larger picked
+    # K/V, and the hops overlap with block compute. Same softmax up to
+    # f32 merge reassociation (tests/test_ring_attention.py). No-op
+    # without an ambient space>1 mesh; ignored (gather path) when the
+    # window batch is data-sharded.
+    ring_attention: bool = False
     # Unroll the refinement loop as a Python loop instead of nn.scan.
     # Parameters and numerics are identical; compile time grows with
     # `iters`. Exists because the Shardy partitioner (JAX 0.9 default)
@@ -293,6 +321,15 @@ class PPMUpdateLoop(nn.Module):
         b, t, h, w, c = query_pe.shape
         k = min(cfg.top_k, t)  # clips shorter than top_k pick every frame
         scale = c**-0.5 * math.log(2 * c, 12000)
+        # ring-attention engagement, decided once for both the chunking
+        # bypass and the attention dispatch below
+        ring_mesh = None
+        if cfg.ring_attention and _ambient_mesh_axis("space"):
+            ring_mesh = _ambient_mesh()
+            if ring_mesh is not None and (
+                ring_mesh.shape.get("data", 1) > 1 and b > 1
+            ):
+                ring_mesh = None  # data-sharded batches: gather path
         # under a seq-sharded mesh: gather the compact per-frame bank
         # once (value each iteration; key_aug is hinted loop-invariantly
         # in __call__) so the pick below is local compute
@@ -325,6 +362,18 @@ class PPMUpdateLoop(nn.Module):
             modw = sc_r[:, :, :, None, None, None].astype(sel_key.dtype)
             sel_key = sel_key[..., :c] * modw + sel_key[..., c:]
 
+            if ring_mesh is not None:
+                from ppmstereo_tpu.parallel.ring_attention import (
+                    ring_play_attention,
+                )
+
+                return ring_play_attention(
+                    q_r.astype(jnp.bfloat16),
+                    sel_key.astype(jnp.bfloat16),
+                    sel_val.astype(jnp.bfloat16),
+                    scale, ring_mesh,
+                )
+
             q_tok = q_r.reshape(b * r, h * w, c).astype(jnp.bfloat16)
             k_tok = sel_key.reshape(b * r, k * h * w, c).astype(jnp.bfloat16)
             v_tok = sel_val.reshape(b * r, k * h * w, c).astype(jnp.bfloat16)
@@ -335,7 +384,11 @@ class PPMUpdateLoop(nn.Module):
 
         chunk_budget = _play_chunk_budget()
         bank_elems = b * t * k * h * w * 2 * c
-        if bank_elems <= chunk_budget:
+        # ring mode: the gathered bank stays sharded over space (and r
+        # over seq) — per-device memory is already 1/n of bank_elems, and
+        # r-chunking would break the seq-axis divisibility shard_map
+        # needs, so the ring path always runs unchunked
+        if bank_elems <= chunk_budget or ring_mesh is not None:
             return rows(query_pe, idx, score_norm).astype(cfg.dtype)
 
         # chunk the target-frame axis to bound the gathered bank size;

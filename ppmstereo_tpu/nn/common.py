@@ -13,11 +13,23 @@ from-scratch training dynamics match:
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
 from jax.nn.initializers import variance_scaling
+
+# Conv lowers as explicit jnp.pad + VALID convolution (numerically
+# identical to implicitly-padded conv for the symmetric paddings used
+# here; XLA folds the pad back into the convolution). Reason: the Shardy
+# partitioner (JAX 0.9 default) miscompiles lax.scan bodies containing
+# IMPLICITLY-padded convolutions when the operand is sharded on two mesh
+# axes at once (O(1)-wrong values) — with the padding made explicit the
+# same graph partitions exactly (artifacts/shardy_probe_r4.py: `base`
+# MISCOMPILE vs `padvalid` ok). PPM_CONV_IMPLICIT_PAD=1 restores the
+# implicit lowering for A/B.
+_IMPLICIT_PAD = os.environ.get("PPM_CONV_IMPLICIT_PAD", "0") == "1"
 
 # torch nn.Conv2d / nn.Linear default weight init.
 torch_conv_kernel_init = variance_scaling(1.0 / 3.0, "fan_in", "uniform")
@@ -65,11 +77,18 @@ class Conv(nn.Module):
         def bias_init(key, shape, dtype=jnp.float32):
             return torch_bias_init(key, shape, dtype, fan_in=fan_in)
 
+        conv_padding = [(p, p) for p in pad]
+        if not _IMPLICIT_PAD and any(p > 0 for p in pad):
+            widths = [(0, 0)] * x.ndim
+            for i, p in enumerate(pad):
+                widths[x.ndim - 1 - len(k) + i] = (p, p)
+            x = jnp.pad(x, widths)
+            conv_padding = "VALID"
         return nn.Conv(
             features=self.features,
             kernel_size=k,
             strides=stride,
-            padding=[(p, p) for p in pad],
+            padding=conv_padding,
             use_bias=self.use_bias,
             feature_group_count=self.feature_group_count,
             kernel_init=init,

@@ -37,20 +37,53 @@ class MeshSpec:
         return self.data * self.seq * self.space
 
 
-def _disable_shardy_partitioner():
-    """Work around a Shardy partitioner miscompile (JAX 0.9 default),
-    applied to MULTI-AXIS meshes only.
+# Largest chained-conv halo at the coarsest (1/16) refinement stage: the
+# motion encoder's 7x7 conv (nn/motion.py convf1). The empirical Shardy
+# danger region is local H shards <= this (see shardy_safe_shapes).
+_MAX_CHAINED_H_HALO = 3
 
-    Root cause (round-3 bisection, minimal upstream repro in
-    artifacts/shardy_repro.py): Shardy miscompiles a lax.scan whose body
-    contains a K-tap SAME convolution when the conv operand is sharded on
-    TWO mesh axes at once (O(1)-wrong values; trigger is cost-model
-    dependent — appears at 128 channels, not at 16). Single-axis
-    shardings are exact, and the same model with the loop unrolled to a
-    Python loop is exact under Shardy
-    (PPMStereoConfig.unroll_refinement_loop). Classic GSPMD is deprecated
-    but compiles the scan correctly on every tested shape
-    (tests/test_sharding.py); revisit when Shardy fixes land.
+
+def shardy_safe_shapes(
+    spec: "MeshSpec", image_hw: tuple[int, int] | None = None
+) -> bool:
+    """Whether the default Shardy partitioner is exact for this mesh and
+    input shape — the empirically-mapped safe region (round 4).
+
+    History: round 3 found Shardy miscompiling the scanned refinement
+    loop under 2-axis sharding (O(1)-wrong values). Round-4 bisection
+    (artifacts/shardy_probe_r4.py, shardy_bisect_loop_r4.py) narrowed it
+    to TWO independent triggers:
+
+      1. implicitly-padded convolutions inside a lax.scan body — FIXED
+         for this codebase by lowering every Conv as explicit jnp.pad +
+         VALID (nn/common.py), which partitions exactly;
+      2. CHAINED convolutions in a scan body when a space-axis shard of
+         the coarsest feature map is not larger than a single conv's
+         halo (e.g. 1/16-scale H of 4 rows over space=2 -> 2-row local
+         shards vs the 7x7 conv's halo of 3). Single convs are exact
+         even there; chains are not. Real protocol shapes (>=128 px
+         image height at space<=4) never enter this region.
+
+    With (1) fixed, the full scan-based model is Shardy-exact at every
+    adequate shape (tests/test_sharding.py::
+    test_seq_space_sharded_forward_exact_under_shardy). For shapes
+    inside region (2), make_mesh falls back to classic GSPMD, which
+    compiles those shapes correctly."""
+    if sum(s > 1 for s in (spec.data, spec.seq, spec.space)) <= 1:
+        return True  # single-axis shardings are exact under Shardy
+    if image_hw is None or spec.space <= 1:
+        return True
+    h16 = max(image_hw[0] // 16, 1)
+    return h16 // spec.space > _MAX_CHAINED_H_HALO
+
+
+def _disable_shardy_partitioner():
+    """Pin the classic GSPMD partitioner — the LEGACY fallback, now only
+    engaged for shapes inside the residual Shardy danger region (see
+    shardy_safe_shapes): tiny space-axis shards of the coarsest feature
+    map with chained convs in the scanned loop. GSPMD is deprecated
+    upstream but compiles those shapes correctly
+    (tests/test_sharding.py); production shapes stay on Shardy.
     """
     try:
         jax.config.update("jax_use_shardy_partitioner", False)
@@ -73,11 +106,31 @@ def _disable_shardy_partitioner():
         )
 
 
-def make_mesh(spec: MeshSpec | None = None, devices=None) -> Mesh:
-    if spec is not None and sum(s > 1 for s in (spec.data, spec.seq, spec.space)) > 1:
-        # single-axis meshes (plain DP, seq-only, space-only) are exact
-        # under Shardy and keep the supported default partitioner; only
-        # multi-axis shardings hit the scan miscompile
+def make_mesh(
+    spec: MeshSpec | None = None,
+    devices=None,
+    image_hw: tuple[int, int] | None = None,
+) -> Mesh:
+    """Build the (data, seq, space) mesh.
+
+    image_hw: the input image (H, W) this mesh will shard, when known.
+    Multi-axis meshes stay on the default Shardy partitioner (exact for
+    all adequate shapes since the round-4 explicit-padding fix,
+    nn/common.py); shapes inside the residual Shardy danger region
+    (shardy_safe_shapes) fall back to classic GSPMD with a warning.
+    Callers that know their input size should pass it."""
+    if spec is not None and not shardy_safe_shapes(spec, image_hw):
+        import warnings
+
+        warnings.warn(
+            f"mesh {spec} with image H={image_hw[0]}: 1/16-scale space "
+            f"shards are <= the max chained-conv halo "
+            f"({_MAX_CHAINED_H_HALO}) — inside the residual Shardy "
+            "danger region; pinning the classic GSPMD partitioner for "
+            "correctness (see parallel/mesh.py::shardy_safe_shapes).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         _disable_shardy_partitioner()
     devices = devices if devices is not None else jax.devices()
     if spec is None:

@@ -1,0 +1,174 @@
+"""Ring play attention over the `space` mesh axis.
+
+The PPM play step attends every target frame's query rows over the FULL
+picked memory frames (reference ppmstereo.py:517-552 — full attention,
+all rows). Under a space-sharded window each device holds only its H
+rows of both the queries and the picked K/V bank, so strict parity
+needs cross-device communication. The gather formulation (round 3)
+all-gathers the picked K/V over `space` every iteration: (n-1)/n x
+|KV| bytes, with |KV| = top_k x |Q| — the dominant ICI term in
+artifacts/comm_model.py.
+
+This module implements the cheaper blockwise form (VERDICT r3 item 3):
+K/V stay resident; each QUERY block rings around the `space` axis
+carrying its online-softmax state (o, m, l). Per hop a device attends
+the visiting query block over its local K/V rows and merges into the
+visiting state — the standard flash/ring-attention merge:
+
+    m_new = max(m, rowmax(s));  alpha = exp(m - m_new)
+    l     = alpha * l + rowsum(exp(s - m_new))
+    o     = alpha * o + exp(s - m_new) V
+
+Bytes per device per hop: |q| + |o| + 2 lane-tiles ~ 2 x |Q| vs the
+gather's (n-1)/n x k x |Q| — about 2x fewer at k=5, n=4 — and each hop
+overlaps with the next block's compute. The result is numerically the
+same softmax attention up to f32 merge reassociation (exactness:
+tests/test_ring_attention.py vs the single-device and gather paths).
+
+Implemented with jax.shard_map + lax.ppermute — explicitly partitioned,
+so no dependence on either automatic partitioner (the first
+Shardy-era-proof collective in the hot loop).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+_NEG_INF = -1e30
+
+
+def _attend_block(q, k, v, o, m, l, scale, q_chunk: int = 4096):
+    """One ring hop: merge attention of q over (k, v) into (o, m, l).
+
+    q: (B, Lq, D) any float dtype; k/v: (B, Lk, D); o: (B, Lq, D) f32;
+    m/l: (B, Lq) f32. Returns updated (o, m, l). Chunked over Lq so the
+    (Lq, Lk) logits never materialize whole.
+    """
+    b, lq, d = q.shape
+    pad = (-lq) % q_chunk
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        o = jnp.pad(o, ((0, 0), (0, pad), (0, 0)))
+        m = jnp.pad(m, ((0, 0), (0, pad)), constant_values=_NEG_INF)
+        l = jnp.pad(l, ((0, 0), (0, pad)))
+    nq = q.shape[1] // q_chunk
+
+    def chunk_fn(args):
+        q_blk, o_blk, m_blk, l_blk = args
+        s = jnp.einsum(
+            "bqd,bkd->bqk", q_blk, k, preferred_element_type=jnp.float32
+        ) * scale
+        m_cur = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m_blk, m_cur)
+        p = jnp.exp(s - m_new[..., None])
+        alpha = jnp.exp(m_blk - m_new)
+        l_new = alpha * l_blk + jnp.sum(p, axis=-1)
+        o_new = alpha[..., None] * o_blk + jnp.einsum(
+            "bqk,bkd->bqd", p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+        return o_new, m_new, l_new
+
+    def reblock(x, extra=()):
+        return jnp.moveaxis(
+            x.reshape(b, nq, q_chunk, *extra), 1, 0
+        )
+
+    o2, m2, l2 = jax.lax.map(
+        chunk_fn, (reblock(q, (d,)), reblock(o, (d,)), reblock(m),
+                   reblock(l)),
+    )
+    o2 = jnp.moveaxis(o2, 0, 1).reshape(b, nq * q_chunk, d)
+    m2 = jnp.moveaxis(m2, 0, 1).reshape(b, nq * q_chunk)
+    l2 = jnp.moveaxis(l2, 0, 1).reshape(b, nq * q_chunk)
+    return o2[:, :lq], m2[:, :lq], l2[:, :lq]
+
+
+def _ring_local(q, k, v, *, scale, axis, n):
+    """shard_map body: q/k/v are LOCAL (B, Lq_loc, D)/(B, Lk_loc, D)
+    token blocks; ring the (q, o, m, l) bundle `n` times over `axis`.
+
+    On TPU each hop is the Pallas flash-carry kernel
+    (kernels/play_attention.py::flash_attend_carry — base-2 online
+    softmax, logits never in HBM); elsewhere the chunked-XLA
+    _attend_block (base-e). The permuted state stays COMPACT per row
+    ((B, Lq) m/l, not the kernel's 128-lane tiles) so a hop moves
+    q (bf16) + o (f32) + 2/d per-row scalars ~ 1.5x |q-f32| bytes.
+    """
+    from ppmstereo_tpu.kernels.play_attention import (
+        _LANES, _on_tpu, flash_attend_carry,
+    )
+
+    b, lq, d = q.shape
+    o = jnp.zeros((b, lq, d), jnp.float32)
+    m = jnp.full((b, lq), _NEG_INF, jnp.float32)
+    l = jnp.zeros((b, lq), jnp.float32)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    use_flash = _on_tpu() and d % _LANES == 0
+
+    def hop(carry, _):
+        q_vis, o_vis, m_vis, l_vis = carry
+        if use_flash:
+            # base-2 domain state; expand to the kernel's lane tiles and
+            # re-compact for the wire
+            o_vis, m_t, l_t = flash_attend_carry(
+                q_vis, k, v, o_vis,
+                jnp.broadcast_to(m_vis[..., None], (b, lq, _LANES)),
+                jnp.broadcast_to(l_vis[..., None], (b, lq, _LANES)),
+                scale,
+            )
+            m_vis, l_vis = m_t[..., 0], l_t[..., 0]
+        else:
+            o_vis, m_vis, l_vis = _attend_block(
+                q_vis, k, v, o_vis, m_vis, l_vis, scale
+            )
+        carry = tuple(
+            jax.lax.ppermute(x, axis, perm)
+            for x in (q_vis, o_vis, m_vis, l_vis)
+        )
+        return carry, None
+
+    (q, o, m, l), _ = jax.lax.scan(hop, (q, o, m, l), None, length=n)
+    # n hops of +1 shift: every block is back on its home device
+    return (o / l[..., None]).astype(q.dtype)
+
+
+def ring_play_attention(
+    query, sel_key, sel_val, scale: float, mesh: Mesh,
+    space_axis: str = "space", seq_axis: str = "seq",
+):
+    """Strict-parity play attention with the picked K/V left sharded
+    over `space` and the query blocks ringing.
+
+    query: (B, R, H, W, C); sel_key/sel_val: (B, R, K, H, W, C), H
+    sharded over `space` and R over `seq` (when those axes exist with
+    size > 1); B must be replicated (engage the gather path for
+    data-sharded window batches). Returns (B, R, H, W, C) sharded like
+    `query`.
+    """
+    n_space = mesh.shape.get(space_axis, 1)
+    b, r, h, w, c = query.shape
+    k_frames = sel_key.shape[2]
+    seq = seq_axis if mesh.shape.get(seq_axis, 1) > 1 else None
+
+    q_spec = P(None, seq, space_axis, None, None)
+    kv_spec = P(None, seq, None, space_axis, None, None)
+
+    def local(q_blk, k_blk, v_blk):
+        lb, lr, lh = q_blk.shape[0], q_blk.shape[1], q_blk.shape[2]
+        q_tok = q_blk.reshape(lb * lr, lh * w, c)
+        k_tok = k_blk.reshape(lb * lr, k_frames * lh * w, c)
+        v_tok = v_blk.reshape(lb * lr, k_frames * lh * w, c)
+        out = _ring_local(
+            q_tok, k_tok, v_tok, scale=scale, axis=space_axis, n=n_space
+        )
+        return out.reshape(lb, lr, lh, w, c)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(q_spec, kv_spec, kv_spec),
+        out_specs=q_spec, check_vma=False,
+    )(query, sel_key, sel_val)

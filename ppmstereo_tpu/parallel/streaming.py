@@ -70,7 +70,17 @@ class ParallelWindowPredictor:
         multiproc = jax.process_count() > 1
         if key not in self._jitted:
             padder = InputPadder(h, w, divis_by=self.divis_by)
-            sharding = NamedSharding(self.mesh, P("data", "seq", "space"))
+            # tail windows shorter than the kernel may not divide the
+            # seq axis — run those seq-replicated (frame-padding would
+            # break parity: SST/pick see the frame count). Same guard
+            # for rows vs space (h is padded to /32, so this only
+            # triggers on exotic meshes).
+            seq = "seq" if t % self.mesh.shape.get("seq", 1) == 0 else None
+            space = (
+                "space" if h % self.mesh.shape.get("space", 1) == 0
+                else None
+            )
+            sharding = NamedSharding(self.mesh, P("data", seq, space))
 
             def fn(l, r):
                 lp, rp = padder.pad(l, r)

@@ -215,7 +215,12 @@ def train(cfg: TrainConfig, loader=None, max_steps: int | None = None,
             d for d in range(1, min(cap, cfg.batch_size) + 1)
             if cfg.batch_size % d == 0
         )
-    mesh = make_mesh(MeshSpec(dp, cfg.seq_parallel, cfg.space_parallel))
+    # crop_size drives the Shardy-vs-GSPMD fallback decision for
+    # multi-axis meshes (parallel/mesh.py::shardy_safe_shapes)
+    mesh = make_mesh(
+        MeshSpec(dp, cfg.seq_parallel, cfg.space_parallel),
+        image_hw=tuple(cfg.crop_size),
+    )
 
     batch0 = next(iter(loader))
     init_key = jax.random.PRNGKey(cfg.seed)

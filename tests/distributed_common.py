@@ -69,6 +69,42 @@ def build_parallel_window_setup(mesh=None):
     return window_fn, video
 
 
+COMPOSED_KERNEL = 4
+COMPOSED_FRAMES = 100
+
+
+def build_composed_window_setup(mesh=None):
+    """(window_fn, video) for the FULLY-COMPOSED BASELINE config #5
+    check: a 100-frame video whose windows pipeline over `data` while
+    EACH window also shards frames over `seq` and rows over `space`
+    (kernel 4 -> stride 2, t=4 over seq=2, h over space=2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig
+
+    cfg = PPMStereoConfig(
+        mixed_precision=False, use_cnet=False, attention_type=None,
+        num_frames=COMPOSED_KERNEL, top_k=2, force_xla_attention=True,
+    )
+    model = PPMStereo(cfg=cfg, iters=1, test_mode=True)
+    zeros = jnp.zeros((1, COMPOSED_KERNEL, H, W, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(5), zeros, zeros)
+    if mesh is not None:
+        from ppmstereo_tpu.parallel.sharding import replicate
+
+        params = jax.device_put(params, replicate(mesh))
+
+    def window_fn(left, right):
+        return model.apply(params, left, right)
+
+    rng = np.random.default_rng(23)
+    video = rng.uniform(
+        0, 255, (COMPOSED_FRAMES, 2, H, W, 3)
+    ).astype(np.float32)
+    return window_fn, video
+
+
 def build_eval_predictor_and_dataset():
     from ppmstereo_tpu.data.datasets import SyntheticStereoDataset
     from ppmstereo_tpu.models.zoo import model_zoo

@@ -86,8 +86,26 @@ def main():
     ppred = ParallelWindowPredictor(window_fn, mesh, kernel_size=KERNEL_T)
     pout = ppred(video)
 
+    # ---- 4. FULLY-COMPOSED config #5: 100-frame video, windows
+    # pipelined over `data` ACROSS the two processes while each window
+    # is itself sharded over seq x space ---------------------------------
+    from tests.distributed_common import (
+        COMPOSED_KERNEL,
+        build_composed_window_setup,
+    )
+
+    mesh_c = make_mesh(
+        MeshSpec(data=nproc, seq=2, space=2), image_hw=(32, 64)
+    )
+    window_fn_c, video_c = build_composed_window_setup(mesh_c)
+    ppred_c = ParallelWindowPredictor(
+        window_fn_c, mesh_c, kernel_size=COMPOSED_KERNEL
+    )
+    pout_c = ppred_c(video_c)
+
     if pid == 0:
         np.save(out_path + ".pwin.npy", pout["disparity"])
+        np.save(out_path + ".pwin100.npy", pout_c["disparity"])
         with open(out_path, "w") as f:
             json.dump(
                 {

@@ -1,0 +1,154 @@
+"""Ring play attention (parallel/ring_attention.py) exactness.
+
+The ring must compute the SAME softmax attention as the single-device
+full attention (up to f32 online-merge reassociation): unit-level
+against a dense reference, and model-level (sharded window forward with
+cfg.ring_attention=True) against the unsharded model — VERDICT r3
+item 3's done criterion.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ppmstereo_tpu.parallel.mesh import MeshSpec, make_mesh
+
+
+def _dense_reference(q, k, v, scale):
+    """(B,R,H,W,C) x (B,R,K,H,W,C): full softmax attention per (b, r)
+    over all K*H*W tokens, f32."""
+    b, r, h, w, c = q.shape
+    kf = k.shape[2]
+    qt = q.reshape(b * r, h * w, c).astype(np.float32)
+    kt = k.reshape(b * r, kf * h * w, c).astype(np.float32)
+    vt = v.reshape(b * r, kf * h * w, c).astype(np.float32)
+    s = np.einsum("bqd,bkd->bqk", qt, kt) * scale
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bqk,bkd->bqd", p, vt).reshape(b, r, h, w, c)
+
+
+def test_ring_attention_matches_dense():
+    from ppmstereo_tpu.parallel.ring_attention import ring_play_attention
+
+    rng = np.random.default_rng(0)
+    b, r, kf, h, w, c = 1, 4, 3, 16, 8, 128
+    q = rng.standard_normal((b, r, h, w, c)).astype(np.float32)
+    k = rng.standard_normal((b, r, kf, h, w, c)).astype(np.float32)
+    v = rng.standard_normal((b, r, kf, h, w, c)).astype(np.float32)
+    scale = 0.11
+    ref = _dense_reference(q, k, v, scale)
+
+    mesh = make_mesh(MeshSpec(data=1, seq=2, space=2))
+    sh_q = NamedSharding(mesh, P(None, "seq", "space", None, None))
+    sh_kv = NamedSharding(mesh, P(None, "seq", None, "space", None, None))
+    with mesh:
+        out = jax.jit(
+            lambda a, b_, c_: ring_play_attention(a, b_, c_, scale, mesh)
+        )(
+            jax.device_put(jnp.asarray(q), sh_q),
+            jax.device_put(jnp.asarray(k), sh_kv),
+            jax.device_put(jnp.asarray(v), sh_kv),
+        )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_ring_attention_space_only_mesh():
+    """seq axis of size 1: the R axis stays local; ring over space."""
+    from ppmstereo_tpu.parallel.ring_attention import ring_play_attention
+
+    rng = np.random.default_rng(1)
+    b, r, kf, h, w, c = 1, 3, 2, 8, 4, 128
+    q = rng.standard_normal((b, r, h, w, c)).astype(np.float32)
+    k = rng.standard_normal((b, r, kf, h, w, c)).astype(np.float32)
+    v = rng.standard_normal((b, r, kf, h, w, c)).astype(np.float32)
+    scale = 0.2
+    ref = _dense_reference(q, k, v, scale)
+
+    mesh = make_mesh(MeshSpec(data=1, seq=1, space=4))
+    sh_q = NamedSharding(mesh, P(None, None, "space", None, None))
+    with mesh:
+        out = jax.jit(
+            lambda a, b_, c_: ring_play_attention(a, b_, c_, scale, mesh)
+        )(jax.device_put(jnp.asarray(q), sh_q), jnp.asarray(k),
+          jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_model_ring_matches_unsharded():
+    """Full sharded window forward with cfg.ring_attention=True vs the
+    single-device forward — the strict-parity guarantee of the ring
+    path. (bf16 attention tokens dominate the tolerance, as in the
+    gather path's own exactness tests.)"""
+    from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig
+
+    cfg = PPMStereoConfig(
+        mixed_precision=False, use_cnet=False, top_k=4,
+        force_xla_attention=True,
+    )
+    rng = np.random.default_rng(3)
+    left = jnp.asarray(
+        rng.uniform(0, 255, (1, 4, 64, 128, 3)).astype(np.float32))
+    right = jnp.asarray(
+        rng.uniform(0, 255, (1, 4, 64, 128, 3)).astype(np.float32))
+    model = PPMStereo(cfg=cfg, iters=2, test_mode=True)
+    params = model.init(jax.random.PRNGKey(0), left, right)
+    disp_ref, _ = jax.jit(model.apply)(params, left, right)
+
+    cfg_ring = dataclasses.replace(cfg, ring_attention=True)
+    model_ring = PPMStereo(cfg=cfg_ring, iters=2, test_mode=True)
+    mesh = make_mesh(MeshSpec(data=1, seq=2, space=2), image_hw=(64, 128))
+    sh = NamedSharding(mesh, P(None, "seq", "space"))
+    rep = NamedSharding(mesh, P())
+    with mesh:
+        fn = jax.jit(
+            model_ring.apply,
+            in_shardings=(
+                jax.tree_util.tree_map(lambda _: rep, params), sh, sh),
+        )
+        disp, _ = fn(
+            jax.device_put(params, rep), jax.device_put(left, sh),
+            jax.device_put(right, sh),
+        )
+    np.testing.assert_allclose(
+        np.asarray(disp), np.asarray(disp_ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_flash_carry_kernel_interpret_matches_dense():
+    """flash_attend_carry (the TPU ring-hop kernel) in Pallas interpret
+    mode: two carry hops over a split K/V must equal one dense softmax
+    attention after the final normalization."""
+    from ppmstereo_tpu.kernels.play_attention import (
+        _LANES, flash_attend_carry,
+    )
+
+    rng = np.random.default_rng(4)
+    b, lq, lk, d = 2, 256, 512, 128
+    q = jnp.asarray(rng.standard_normal((b, lq, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, lk, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, lk, d)).astype(np.float32))
+    scale = 0.13
+
+    s = np.einsum("bqd,bkd->bqk", np.asarray(q), np.asarray(k)) * scale
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bqk,bkd->bqd", p, np.asarray(v))
+
+    o = jnp.zeros((b, lq, d), jnp.float32)
+    m = jnp.full((b, lq, _LANES), -1e30, jnp.float32)
+    l = jnp.zeros((b, lq, _LANES), jnp.float32)
+    half = lk // 2
+    for sl in (slice(0, half), slice(half, lk)):
+        o, m, l = flash_attend_carry(
+            q, k[:, sl], v[:, sl], o, m, l, scale,
+            block_q=128, block_k=128, interpret=True,
+        )
+    out = np.asarray(o / l[..., :1])
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)

@@ -66,7 +66,7 @@ def test_sharded_window_predictor_matches_sequential(model_and_params):
     video = _video(n=8)
 
     out_ref = _make(model, params)(video)
-    mesh = make_mesh(MeshSpec(data=1, seq=2, space=2))
+    mesh = make_mesh(MeshSpec(data=1, seq=2, space=2), image_hw=(64, 128))
     out_sh = _make(model, params, mesh=mesh)(video)
 
     assert out_sh["disparity"].shape == out_ref["disparity"].shape
@@ -88,7 +88,7 @@ def test_sharded_warm_windowing_matches_sequential(model_and_params):
     video = _video(n=8)
 
     out_ref = _make(model, params, warm_model=warm_model)(video)
-    mesh = make_mesh(MeshSpec(data=1, seq=2, space=2))
+    mesh = make_mesh(MeshSpec(data=1, seq=2, space=2), image_hw=(64, 128))
     out_sh = _make(model, params, mesh=mesh, warm_model=warm_model)(video)
 
     np.testing.assert_allclose(
@@ -106,7 +106,7 @@ def test_sharded_encoder_cache_matches_sequential(model_and_params):
 
     out_ref = _make(model, params)(video)
 
-    mesh = make_mesh(MeshSpec(data=1, seq=2, space=2))
+    mesh = make_mesh(MeshSpec(data=1, seq=2, space=2), image_hw=(64, 128))
     rep = NamedSharding(mesh, P())
     sparams = jax.device_put(params, rep)
 
@@ -135,7 +135,7 @@ def test_sharded_whole_clip_path(model_and_params):
     model, params = model_and_params
     video = _video(n=2)
     out_ref = _make(model, params)(video)
-    mesh = make_mesh(MeshSpec(data=1, seq=2, space=2))
+    mesh = make_mesh(MeshSpec(data=1, seq=2, space=2), image_hw=(64, 128))
     out_sh = _make(model, params, mesh=mesh, fetch_uncertainty=False)(video)
     np.testing.assert_allclose(
         out_sh["disparity"], out_ref["disparity"], rtol=1e-4, atol=1e-4

@@ -1,19 +1,24 @@
 """SPMD correctness: sharded forward vs single-device forward.
 
-All three sharding modes are exact (fp32 reduction noise only, ~1e-6):
+All sharding modes are exact (fp32 reduction noise only, ~1e-6):
 
 1. data-axis sharding (the training mode) — batches are independent;
 2. GRU-in-scan with seq/space sharding at the unit level;
-3. the full model with seq AND space sharded simultaneously.
+3. the full model with seq AND space sharded simultaneously, under the
+   DEFAULT Shardy partitioner at adequate shapes (the round-4 explicit
+   conv padding fix, nn/common.py);
+4. the same at tiny shapes inside the residual Shardy danger region,
+   via make_mesh's classic-GSPMD fallback
+   (parallel/mesh.py::shardy_safe_shapes);
+5. scan+remat GRADIENTS of the refinement loop under Shardy.
 
-Historical note: (3) used to diverge by ~1e-1. Bisection
-(artifacts/bisect_shard*.py) proved it was a Shardy-partitioner
-miscompile of the scanned PPM loop under 2-axis sharding — the
-single-device model is not chaotic (1e-6 input noise -> 1e-6 output
-change), an unrolled loop was exact, and the classic GSPMD partitioner
-was exact. make_mesh() now disables Shardy (parallel/mesh.py); these
-tests run at tight tolerances and act as the regression gate for
-re-enabling it.
+Historical note: (3) used to diverge by ~1e-1 under Shardy. Round-3
+bisection produced a minimal repro (artifacts/shardy_repro.py: scan +
+implicitly-padded conv + 2-axis sharding); round 4 found lowering every
+Conv as explicit jnp.pad + VALID partitions exactly
+(artifacts/shardy_probe_r4.py) except when a 1/16-scale space shard is
+not larger than a chained conv's halo (shardy_bisect_loop_r4.py) —
+hence the shape-aware fallback these tests pin from both sides.
 """
 
 import dataclasses
@@ -102,21 +107,126 @@ def test_gru_in_scan_seq_space_sharded_unit():
 
 
 @pytest.mark.slow
-def test_seq_space_sharded_forward_exact():
-    """Guards the Shardy workaround in make_mesh: under the buggy
-    partitioner this diverges to ~1.6e-1; with classic GSPMD it is
-    exact to fp32 reduction noise."""
+def test_seq_space_sharded_forward_exact_tiny_shape_fallback():
+    """64-px clips put 2-row space shards at the 1/16 stage — inside the
+    residual Shardy danger region (chained-conv halo 3 > local 2), where
+    Shardy still returns O(1e-1)-wrong values. make_mesh(image_hw=...)
+    must fall back to classic GSPMD there and stay exact."""
     left, right = _clip()
     model = PPMStereo(cfg=CFG, iters=2, test_mode=True)
     params = model.init(jax.random.PRNGKey(0), left, right)
     disp_ref, _ = jax.jit(model.apply)(params, left, right)
 
-    mesh = make_mesh(MeshSpec(data=1, seq=2, space=2))
+    with pytest.warns(RuntimeWarning, match="Shardy danger region"):
+        mesh = make_mesh(
+            MeshSpec(data=1, seq=2, space=2), image_hw=(64, 128)
+        )
+    assert not jax.config.jax_use_shardy_partitioner
     disp, _ = _run(model, params, left, right, mesh, P(None, "seq", "space"))
     assert np.isfinite(np.asarray(disp)).all()
     np.testing.assert_allclose(
         np.asarray(disp), np.asarray(disp_ref), rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.slow
+def test_seq_space_sharded_forward_exact_under_shardy():
+    """The SCAN-BASED model under the DEFAULT Shardy partitioner at an
+    adequate shape (128-px: 4-row 1/16 space shards > halo 3): exact
+    since the explicit-padding Conv lowering (nn/common.py). This is the
+    round-4 closure of the GSPMD dependency — no unroll, no pin."""
+    prev = jax.config.jax_use_shardy_partitioner
+    try:
+        jax.config.update("jax_use_shardy_partitioner", True)
+        rng = np.random.default_rng(3)
+        left = jnp.asarray(
+            rng.uniform(0, 255, (1, 4, 128, 128, 3)).astype(np.float32))
+        right = jnp.asarray(
+            rng.uniform(0, 255, (1, 4, 128, 128, 3)).astype(np.float32))
+        model = PPMStereo(cfg=CFG, iters=2, test_mode=True)
+        params = model.init(jax.random.PRNGKey(0), left, right)
+        disp_ref, _ = jax.jit(model.apply)(params, left, right)
+
+        mesh = make_mesh(
+            MeshSpec(data=1, seq=2, space=2), image_hw=(128, 128)
+        )
+        assert jax.config.jax_use_shardy_partitioner  # no fallback fired
+        disp, _ = _run(
+            model, params, left, right, mesh, P(None, "seq", "space"))
+        np.testing.assert_allclose(
+            np.asarray(disp), np.asarray(disp_ref), rtol=1e-4, atol=1e-4
+        )
+    finally:
+        jax.config.update("jax_use_shardy_partitioner", prev)
+
+
+def test_refinement_loop_grads_exact_under_shardy_seq_space():
+    """Scan + per-iteration remat BACKWARD under Shardy with seq+space
+    sharding (the training composition): grads of the refinement loop
+    must match the single-device grads."""
+    from ppmstereo_tpu.models.ppm_stereo import PPMUpdateLoop
+    from ppmstereo_tpu.ops.corr import build_corr_pyramid
+    from ppmstereo_tpu.ops.geometry import coords_grid_x
+
+    prev = jax.config.jax_use_shardy_partitioner
+    try:
+        jax.config.update("jax_use_shardy_partitioner", True)
+        b, t, h, w, c = 1, 4, 16, 32, 128
+        rng = np.random.default_rng(0)
+
+        def r(*shape):
+            return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+        fmap1, fmap2 = r(b, t, h, w, 256), r(b, t, h, w, 256)
+        pyramid = build_corr_pyramid(
+            fmap1.reshape(b * t, h, w, -1), fmap2.reshape(b * t, h, w, -1),
+            CFG.corr_levels,
+        )
+        coords0 = coords_grid_x(b * t, h, w)
+        args = (
+            pyramid, coords0, r(b, t, h, w, c), r(b, t, h, w, 2 * c),
+            r(b, t, t) * 0.1, r(b, t, h, w, 2) * 0.5,
+            jnp.tanh(r(b, t, h, w, 128)), jax.nn.relu(r(b, t, h, w, 128)),
+            jnp.zeros((b, t, h, w, 64)),
+        )
+        loop = PPMUpdateLoop(
+            cfg=CFG, iters=2, interp_scale=1, collect_preds=True)
+        params = loop.init(jax.random.PRNGKey(0), *args)
+
+        def loss(p, *a):
+            preds = loop.apply(p, *a)[4]
+            return jnp.mean(jnp.abs(preds))
+
+        g_ref = jax.jit(jax.grad(loss))(params, *args)
+
+        # the loop's h=16 here plays the role of a 1/16-scale map of a
+        # 256-px image: 8-row space shards, comfortably Shardy-safe
+        mesh = make_mesh(
+            MeshSpec(data=1, seq=2, space=2), image_hw=(16 * 16, w)
+        )
+        assert jax.config.jax_use_shardy_partitioner
+        rep = NamedSharding(mesh, P())
+        sh = NamedSharding(mesh, P(None, "seq", "space"))
+        sh_pyr = NamedSharding(mesh, P("seq", "space"))
+        sh_c0 = NamedSharding(mesh, P(None, "space"))
+        sh_sim = NamedSharding(mesh, P(None, "seq"))
+        in_sh = (
+            jax.tree_util.tree_map(lambda _: rep, params),
+            [sh_pyr] * len(pyramid), sh_c0, sh, sh, sh_sim, sh, sh, sh, sh,
+        )
+        with mesh:
+            g = jax.jit(jax.grad(loss), in_shardings=in_sh)(
+                *jax.tree_util.tree_map(
+                    jax.device_put, (params, *args), in_sh)
+            )
+        for ref_leaf, leaf in zip(
+            jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(ref_leaf), rtol=2e-4, atol=2e-4
+            )
+    finally:
+        jax.config.update("jax_use_shardy_partitioner", prev)
 
 
 @pytest.mark.slow

@@ -119,5 +119,8 @@ def test_warm_budget_vs_anchor():
     ms, mw = metrics(strict), metrics(warm)
     epe_s, epe_w = float(ms["epe_mean"]), float(mw["epe_mean"])
     tepe_s, tepe_w = float(ms["temp_epe_mean"]), float(mw["temp_epe_mean"])
+    print(f"warm-budget margins: epe {epe_w:.4f}/{epe_s:.4f} "
+          f"({epe_w / epe_s:.3f}x)  tepe {tepe_w:.4f}/{tepe_s:.4f} "
+          f"({tepe_w / tepe_s:.3f}x)")
     assert epe_w <= 1.15 * epe_s, (epe_w, epe_s)
     assert tepe_w <= 1.10 * tepe_s, (tepe_w, tepe_s)
