@@ -169,6 +169,10 @@ def main():
     ).start()
     signal.signal(signal.SIGTERM, _signal_exit)
     signal.signal(signal.SIGINT, _signal_exit)
+    ready = os.environ.get("BENCH_READY_FILE")
+    if ready:  # test hook: signal handlers are now installed
+        with open(ready, "w") as f:
+            f.write("ready\n")
 
     config = os.environ.get("BENCH_CONFIG", "short")
     if config == "full":
@@ -339,10 +343,25 @@ def main():
         # work and 4 wire bytes.
         return float(jnp.mean(o[0]))
 
+    # phase A performs the first compile — retry the documented
+    # transient compile-service flakes here too (successful compiles
+    # land in the persistent cache, so a retry only redoes the failure)
     t0 = time.monotonic()
-    outs = predictor._run_window(dleft, dright)
-    d2h_thread.join()  # stall absorbed; timings below are clean
-    _sync(outs)
+    for attempt in range(3):
+        try:
+            outs = predictor._run_window(dleft, dright)
+            d2h_thread.join()  # stall absorbed; timings below are clean
+            _sync(outs)
+            break
+        except Exception as e:  # noqa: BLE001 - backend errors untyped
+            msg = str(e)
+            transient = any(s in msg for s in
+                            ("remote_compile", "UNAVAILABLE", "INTERNAL"))
+            if not transient or attempt == 2:
+                raise
+            _log(f"phase A compile flake (attempt {attempt + 1}): "
+                 f"{msg.splitlines()[0][:120]}")
+            time.sleep(20)
     first_s = time.monotonic() - t0
     _log(f"phase A: first window (incl. compile/cache-load) {first_s:.1f}s")
     t0 = time.monotonic()
@@ -372,7 +391,8 @@ def main():
         })
 
     warm_s_per_window = None
-    if warm_start and _deadline_left(deadline_s) > 3 * first_s:
+    if (warm_start and len(starts) > 1
+            and _deadline_left(deadline_s) > 3 * first_s):
         prev = outs[0]
         for _ in range(2):
             td = time.monotonic()
@@ -457,4 +477,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 - the one-line contract
+        # is unconditional: whatever killed the run, flush the best
+        # record (or the stale fallback) before dying
+        if not isinstance(e, SystemExit):
+            _log(f"fatal: {type(e).__name__}: {str(e)[:200]}")
+            with _LOCK:
+                if _BEST and not _PRINTED.is_set():
+                    _BEST["degraded"] = True
+                    _BEST["error"] = f"{type(e).__name__}"
+            _emit(final=False)
+        raise

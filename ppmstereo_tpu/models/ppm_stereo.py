@@ -322,14 +322,25 @@ class PPMUpdateLoop(nn.Module):
         k = min(cfg.top_k, t)  # clips shorter than top_k pick every frame
         scale = c**-0.5 * math.log(2 * c, 12000)
         # ring-attention engagement, decided once for both the chunking
-        # bypass and the attention dispatch below
+        # bypass and the attention dispatch below. Falls back to the
+        # gather path (always exact) when:
+        #   * the window batch is data-sharded (shard_map would need a
+        #     data spec; windows batch rarely with space sharding);
+        #   * this stage's H does not divide `space` (e.g. 720p 1/16:
+        #     H=46 at space=4) or T does not divide `seq` (odd tail
+        #     windows) — shard_map requires even shards.
         ring_mesh = None
         if cfg.ring_attention and _ambient_mesh_axis("space"):
             ring_mesh = _ambient_mesh()
-            if ring_mesh is not None and (
-                ring_mesh.shape.get("data", 1) > 1 and b > 1
-            ):
-                ring_mesh = None  # data-sharded batches: gather path
+            if ring_mesh is not None:
+                n_space = ring_mesh.shape.get("space", 1)
+                n_seq = ring_mesh.shape.get("seq", 1)
+                if (
+                    (ring_mesh.shape.get("data", 1) > 1 and b > 1)
+                    or h % n_space != 0
+                    or t % n_seq != 0
+                ):
+                    ring_mesh = None
         # under a seq-sharded mesh: gather the compact per-frame bank
         # once (value each iteration; key_aug is hinted loop-invariantly
         # in __call__) so the pick below is local compute

@@ -61,18 +61,32 @@ def shardy_safe_shapes(
          the coarsest feature map is not larger than a single conv's
          halo (e.g. 1/16-scale H of 4 rows over space=2 -> 2-row local
          shards vs the 7x7 conv's halo of 3). Single convs are exact
-         even there; chains are not. Real protocol shapes (>=128 px
-         image height at space<=4) never enter this region.
+         even there; chains are not. The safe region is
+         (H/16)/space > 3, i.e. image height > 64*space: 720p at
+         space=4 (46//4 = 11 rows) is comfortably safe; 128-px toy
+         clips at space=4 (8//4 = 2) are not.
 
     With (1) fixed, the full scan-based model is Shardy-exact at every
     adequate shape (tests/test_sharding.py::
     test_seq_space_sharded_forward_exact_under_shardy). For shapes
-    inside region (2), make_mesh falls back to classic GSPMD, which
-    compiles those shapes correctly."""
+    inside region (2) — and conservatively whenever the caller does NOT
+    provide image_hw for a multi-axis mesh, or when the
+    PPM_CONV_IMPLICIT_PAD=1 escape hatch disables fix (1) — make_mesh
+    falls back to classic GSPMD, which compiles every tested shape
+    correctly."""
     if sum(s > 1 for s in (spec.data, spec.seq, spec.space)) <= 1:
         return True  # single-axis shardings are exact under Shardy
-    if image_hw is None or spec.space <= 1:
+    from ppmstereo_tpu.nn.common import _IMPLICIT_PAD
+
+    if _IMPLICIT_PAD:
+        return False  # trigger (1) is back: every multi-axis shape unsafe
+    if spec.space <= 1:
         return True
+    if image_hw is None:
+        # unknown shape: be conservative — correctness beats the
+        # deprecation warning. Callers that know their input size pass
+        # it and stay on Shardy.
+        return False
     h16 = max(image_hw[0] // 16, 1)
     return h16 // spec.space > _MAX_CHAINED_H_HALO
 
@@ -122,12 +136,19 @@ def make_mesh(
     if spec is not None and not shardy_safe_shapes(spec, image_hw):
         import warnings
 
+        why = (
+            f"image H={image_hw[0]}: 1/16-scale space shards are <= the "
+            f"max chained-conv halo ({_MAX_CHAINED_H_HALO})"
+            if image_hw is not None
+            else "image_hw not provided (or PPM_CONV_IMPLICIT_PAD=1)"
+        )
         warnings.warn(
-            f"mesh {spec} with image H={image_hw[0]}: 1/16-scale space "
-            f"shards are <= the max chained-conv halo "
-            f"({_MAX_CHAINED_H_HALO}) — inside the residual Shardy "
-            "danger region; pinning the classic GSPMD partitioner for "
-            "correctness (see parallel/mesh.py::shardy_safe_shapes).",
+            f"mesh {spec}, {why} — inside (or possibly inside) the "
+            "residual Shardy danger region; pinning the classic GSPMD "
+            "partitioner for correctness (see "
+            "parallel/mesh.py::shardy_safe_shapes). Pass image_hw to "
+            "make_mesh to stay on the default partitioner at safe "
+            "shapes.",
             RuntimeWarning,
             stacklevel=2,
         )

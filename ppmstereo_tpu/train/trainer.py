@@ -256,14 +256,12 @@ def train(cfg: TrainConfig, loader=None, max_steps: int | None = None,
     # interval (cap 50). On a degraded remote tunnel each d2h fetch can
     # stall minutes (observed killing a run's throughput at fetch-every-
     # 10), so fetch as rarely as the logging cadence allows.
-    # push_every must DIVIDE log_freq or the logger's `step % sum_freq`
-    # flush gate only fires at lcm(push_every, log_freq) — pick the
-    # largest divisor of log_freq that is <= 50
-    push_every = max(
-        (d for d in range(1, min(50, cfg.log_freq) + 1)
-         if cfg.log_freq % d == 0),
-        default=1,
-    )
+    # the logger flushes on steps-since-last-flush (logging_utils), so
+    # push_every only bounds the device-sync cadence — no divisibility
+    # coupling with log_freq (a divisor-based pick degraded to
+    # push_every=1 for prime log_freqs: a d2h fetch EVERY step, minutes
+    # of stall each on a degraded tunnel)
+    push_every = max(1, min(50, cfg.log_freq))
     t_last = time.perf_counter()
 
     import gc

@@ -20,6 +20,7 @@ class MetricsLogger:
         os.makedirs(exp_dir, exist_ok=True)
         self.path = os.path.join(exp_dir, "metrics.jsonl")
         self.sum_freq = sum_freq
+        self._last_flush_step: int | None = None
         self.running: dict[str, float] = {}
         self.counts: dict[str, int] = {}
         self.writer = None
@@ -36,14 +37,18 @@ class MetricsLogger:
             v = float(v)
             self.running[k] = self.running.get(k, 0.0) + v
             self.counts[k] = self.counts.get(k, 0) + 1
-        # trainers push every N steps (N = push_every, a divisor-friendly
-        # 10), so gate on `% == 0`: the reference's `% == freq-1` idiom
-        # (logger.py:46-57 pushes EVERY step) never fires here and left
-        # metrics.jsonl empty for whole runs
-        if step % self.sum_freq == 0:
+        # flush once every sum_freq STEPS SINCE THE LAST FLUSH: robust
+        # to any push cadence (trainers push every push_every steps;
+        # a `% == 0` gate only fired when a push landed exactly on a
+        # multiple, i.e. at lcm(push_every, sum_freq) — for sum_freq=53
+        # and push_every=50 that meant one line per 2650 steps)
+        if self._last_flush_step is None:
+            self._last_flush_step = step - 1  # first push anchors cadence
+        if step - self._last_flush_step >= self.sum_freq:
             self.flush(step)
 
     def flush(self, step: int):
+        self._last_flush_step = step
         if not self.running:
             return
         means = {

@@ -204,3 +204,23 @@ def test_variance_masked_mean_and_reconstruction_views(tmp_path):
     import os
 
     assert all(os.path.exists(p) for p in written.values())
+
+
+def test_metrics_logger_flush_cadence(tmp_path):
+    """The logger flushes once per sum_freq STEPS regardless of the
+    push cadence — including cadences that never land on a multiple of
+    sum_freq (e.g. pushes every 50 steps with sum_freq 53, which the
+    old `step % sum_freq == 0` gate flushed once per 2650 steps)."""
+    from ppmstereo_tpu.utils.logging_utils import MetricsLogger
+
+    log = MetricsLogger(str(tmp_path), sum_freq=53, tensorboard=False)
+    for step in range(50, 2001, 50):  # trainer pushes every 50 steps
+        log.push(step, {"loss": 1.0})
+    lines = open(log.path).read().strip().splitlines()
+    # ~2000/53 = 37 ideal; push granularity of 50 gives one per ceil
+    # interval: at least one flush per 2*sum_freq steps
+    assert len(lines) >= 2000 // (2 * 53), len(lines)
+    import json
+
+    steps = [json.loads(l)["step"] for l in lines]
+    assert all(b - a >= 53 for a, b in zip(steps, steps[1:]))

@@ -50,16 +50,26 @@ def test_watchdog_emits_fallback_line_before_any_measurement():
     assert rec["value"] > 0  # seeded from the last good driver run
 
 
-def test_sigterm_emits_line():
+def test_sigterm_emits_line(tmp_path):
     """An external `timeout`-style SIGTERM at any point must flush the
     best-so-far record (here: before any measurement -> stale path)."""
+    ready = tmp_path / "ready"
     p = subprocess.Popen(
         [sys.executable, BENCH],
-        env=_cpu_env(BENCH_DEADLINE_S="600", BENCH_CONFIG="tiny"),
+        env=_cpu_env(BENCH_DEADLINE_S="600", BENCH_CONFIG="tiny",
+                     BENCH_READY_FILE=str(ready)),
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         cwd=REPO,
     )
-    time.sleep(3.0)  # mid-import: the most hostile kill point
+    # wait until the handlers are installed (under heavy CPU contention
+    # a fixed sleep could SIGTERM the interpreter mid-import, where the
+    # default handler still applies and no output is possible)
+    deadline = time.monotonic() + 120
+    while not ready.exists():
+        if time.monotonic() > deadline:
+            p.kill()
+            pytest.fail("bench never signalled readiness")
+        time.sleep(0.2)
     p.send_signal(signal.SIGTERM)
     try:
         out, _ = p.communicate(timeout=60)

@@ -152,3 +152,42 @@ def test_flash_carry_kernel_interpret_matches_dense():
         )
     out = np.asarray(o / l[..., :1])
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_model_ring_divisibility_fallback():
+    """Stages whose H does not divide `space` (here 1/16 H=5 at
+    space=2) must fall back to the gather path per-stage instead of
+    crashing in shard_map; divisible stages still ring. Exactness vs
+    the unsharded forward holds either way."""
+    from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig
+
+    cfg = PPMStereoConfig(
+        mixed_precision=False, use_cnet=False, top_k=4,
+        force_xla_attention=True, ring_attention=True,
+    )
+    rng = np.random.default_rng(5)
+    left = jnp.asarray(
+        rng.uniform(0, 255, (1, 4, 80, 96, 3)).astype(np.float32))
+    right = jnp.asarray(
+        rng.uniform(0, 255, (1, 4, 80, 96, 3)).astype(np.float32))
+    model = PPMStereo(cfg=cfg, iters=2, test_mode=True)
+    params = model.init(jax.random.PRNGKey(0), left, right)
+    disp_ref, _ = jax.jit(model.apply)(params, left, right)
+
+    mesh = make_mesh(MeshSpec(data=1, seq=2, space=2), image_hw=(80, 96))
+    sh = NamedSharding(mesh, P(None, "seq", "space"))
+    rep = NamedSharding(mesh, P())
+    with mesh:
+        fn = jax.jit(
+            model.apply,
+            in_shardings=(
+                jax.tree_util.tree_map(lambda _: rep, params), sh, sh),
+        )
+        disp, _ = fn(
+            jax.device_put(params, rep), jax.device_put(left, sh),
+            jax.device_put(right, sh),
+        )
+    np.testing.assert_allclose(
+        np.asarray(disp), np.asarray(disp_ref), rtol=1e-4, atol=1e-4
+    )
