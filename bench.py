@@ -425,7 +425,8 @@ def main():
     n_out = None
     n_passes = 2 if _deadline_left(deadline_s) > 4 * compute_s else 1
     for p in range(n_passes):
-        if p > 0 and _deadline_left(deadline_s) < 2.5 * dt:
+        if p > 0 and _deadline_left(deadline_s) < 2.5 * min(
+                dt, 2.0 * compute_s + 30):
             _log("phase B: skipping further passes (deadline)")
             break
         for attempt in range(3):
@@ -446,6 +447,16 @@ def main():
         n_out = len(out["disparity"])
         fps = n_out / dt
         _log(f"phase B: pass {p + 1}: {dt:.1f}s e2e, {fps:.3f} fps")
+        if p == 0 and dt > 1.5 * compute_s + 30:
+            # pass 1 was dominated by residual graph compiles/cache
+            # loads (observed 226 s for a 2.9 s workload on a degraded
+            # day) — record it as warmup only; the device-side partial
+            # stays the headline until a clean e2e pass lands
+            _log("phase B: pass 1 compile-dominated — not recording as e2e")
+            with _LOCK:
+                _BEST["first_e2e_pass_s"] = round(dt, 3)
+            dt = float("inf")
+            continue
         with _LOCK:
             _BEST.update({
                 "value": round(fps, 3),

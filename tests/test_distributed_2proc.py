@@ -101,3 +101,19 @@ def test_two_process_train_and_eval(tmp_path):
     got_disp = np.load(str(out) + ".pwin.npy")
     assert got_disp.shape == want_disp.shape
     np.testing.assert_allclose(got_disp, want_disp, rtol=1e-4, atol=1e-4)
+
+    # ---- FULLY-COMPOSED config #5 (100 frames, windows over `data`
+    # across processes, each window sharded seq x space) vs the
+    # sequential driver ----
+    from tests.distributed_common import (
+        COMPOSED_KERNEL,
+        build_composed_window_setup,
+    )
+
+    window_fn_c, video_c = build_composed_window_setup()
+    want_c = SlidingWindowPredictor(
+        window_fn_c, kernel_size=COMPOSED_KERNEL
+    )(video_c)["disparity"]
+    got_c = np.load(str(out) + ".pwin100.npy")
+    assert got_c.shape == want_c.shape and len(got_c) == len(video_c)
+    np.testing.assert_allclose(got_c, want_c, rtol=1e-4, atol=1e-4)
