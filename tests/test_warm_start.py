@@ -7,9 +7,18 @@ import os
 import numpy as np
 import pytest
 
-ANCHOR_NPZ = os.path.join(
+_CKPTS = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "checkpoints", "anchor_r3.npz",
+    "checkpoints",
+)
+# prefer the deepest standing anchor on this machine (r4 is minted on
+# disk by artifacts/post_anchor_queue.sh and intentionally not committed
+# — see .gitignore); fall back to the committed 5k-step r3 anchor
+ANCHOR_NPZ = next(
+    (p for p in (os.path.join(_CKPTS, "anchor_r4.npz"),
+                 os.path.join(_CKPTS, "anchor_r3.npz"))
+     if os.path.exists(p)),
+    os.path.join(_CKPTS, "anchor_r3.npz"),
 )
 
 
