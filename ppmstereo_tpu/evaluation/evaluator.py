@@ -52,6 +52,22 @@ class Evaluator:
             dt = time.perf_counter() - t0
 
             seq_len = len(video)
+            if self.cfg.visualize:
+                # reference gate: visualize_interval > 0 writes rotated
+                # point-cloud reconstruction videos per sequence
+                # (evaluator.py:101-138 -> utils.py:292-442); here the
+                # numpy renderer + variance-masked mean views
+                from ppmstereo_tpu.evaluation.visualization import (
+                    save_reconstruction_views,
+                )
+
+                vis_dir = os.path.join(self.cfg.exp_dir, "visualisations")
+                save_reconstruction_views(
+                    np.abs(out["disparity"][..., 0]),
+                    video[:, 0].astype(np.uint8),
+                    vis_dir,
+                    sequence_name=f"seq_{i}",
+                )
             if "disp" in sample and sample["disp"] is not None:
                 gt = np.abs(sample["disp"][:, 0])  # (T,H,W,1), |neg-x flow|
                 mask = sample["valid"][:, 0][..., None]

@@ -1,5 +1,6 @@
 """Harness tests: zoo, evaluator, trainer smoke, config, checkpoints."""
 
+import os
 import numpy as np
 import pytest
 
@@ -112,8 +113,17 @@ class TestZooAndEvaluator:
         predictor = model_zoo("RAFTStereoModel", kernel_size=4, iters=2)
         ds = SyntheticStereoDataset(num_seqs=1, sample_len=2, height=48, width=64)
         # raw samples (no augmentation) expose img/disp/valid
-        evaluator = Evaluator(EvalConfig())
-        results = evaluator.evaluate_sequence(predictor, ds)
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            evaluator = Evaluator(EvalConfig(exp_dir=td, visualize=True))
+            results = evaluator.evaluate_sequence(predictor, ds)
+            # visualize=True writes the reconstruction views + the
+            # variance-masked mean per sequence (reference
+            # evaluator.py:101-138 gate)
+            vis = os.listdir(os.path.join(td, "visualisations"))
+            assert any("angle_15" in f for f in vis)
+            assert any("varmask" in f for f in vis)
         agg = results["aggregate"]
         assert "epe_mean" in agg and np.isfinite(agg["epe_mean"])
         assert agg["num_sequences"] == 1
