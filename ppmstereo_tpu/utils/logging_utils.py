@@ -37,14 +37,14 @@ class MetricsLogger:
             v = float(v)
             self.running[k] = self.running.get(k, 0.0) + v
             self.counts[k] = self.counts.get(k, 0) + 1
-        # flush once every sum_freq STEPS SINCE THE LAST FLUSH: robust
-        # to any push cadence (trainers push every push_every steps;
-        # a `% == 0` gate only fired when a push landed exactly on a
+        # flush on every sum_freq BOUNDARY CROSSING: lines land on (or
+        # at the first push past) the sum_freq grid for any push cadence
+        # (a `% == 0` gate only fired when a push landed exactly on a
         # multiple, i.e. at lcm(push_every, sum_freq) — for sum_freq=53
         # and push_every=50 that meant one line per 2650 steps)
         if self._last_flush_step is None:
             self._last_flush_step = step - 1  # first push anchors cadence
-        if step - self._last_flush_step >= self.sum_freq:
+        if step // self.sum_freq > self._last_flush_step // self.sum_freq:
             self.flush(step)
 
     def flush(self, step: int):

@@ -131,5 +131,13 @@ def test_warm_budget_vs_anchor():
     print(f"warm-budget margins: epe {epe_w:.4f}/{epe_s:.4f} "
           f"({epe_w / epe_s:.3f}x)  tepe {tepe_w:.4f}/{tepe_s:.4f} "
           f"({tepe_w / tepe_s:.3f}x)")
-    assert epe_w <= 1.15 * epe_s, (epe_w, epe_s)
-    assert tepe_w <= 1.10 * tepe_s, (tepe_w, tepe_s)
+    # Bounds are observed margin + 10% (VERDICT r3 item 5: the old
+    # 1.15x/1.10x budget could hide a 10% regression). Measured
+    # 2026-08-20 with the 5k anchor at this exact config: warm BEATS
+    # strict — epe 0.833x, tepe 0.784x (the warm seed acts as a
+    # temporal prior, same 10/10 result as the on-chip table in
+    # BENCH_NOTES "Anchor EPE table"). Everything here is deterministic
+    # (fixed seeds, fixed CPU backend), so a trip means a real
+    # behavioral change, not flakiness.
+    assert epe_w <= 0.92 * epe_s, (epe_w, epe_s)
+    assert tepe_w <= 0.87 * tepe_s, (tepe_w, tepe_s)
