@@ -213,7 +213,7 @@ def flash_attend_carry(
     Returns merged (o, m, l). Used per ring hop on TPU."""
     from jax.experimental.pallas import tpu as pltpu
 
-    default_q, default_k = _block_policy(q.shape[1], k.shape[1])
+    default_q, default_k = _carry_block_policy(q.shape[1], k.shape[1])
     block_q = block_q or default_q
     block_k = block_k or default_k
     b, lq, d = q.shape
@@ -288,6 +288,40 @@ def _block_policy(lq: int, lk: int) -> tuple[int, int]:
     block_k = _pick_block_k(lk)
     block_q = 2048 if lq >= 8192 else (1024 if lq >= 4096 else 512)
     return block_q, block_k
+
+
+def _carry_vmem_bytes(bq: int, bk: int, d: int) -> int:
+    """Scoped-VMEM working-set estimate for _flash_carry_kernel: the
+    pipeline double-buffers every in/out block (q bf16, k+v bf16, o0 +
+    o_out f32, m0/l0/m_out/l_out f32 lane tiles) plus single-buffered
+    scratch (m, l, acc)."""
+    per_copy = (
+        bq * d * 2          # q
+        + 2 * bk * d * 2    # k, v
+        + 2 * bq * d * 4    # o0, o_out
+        + 4 * bq * _LANES * 4  # m0, l0, m_out, l_out
+    )
+    scratch = bq * d * 4 + 2 * bq * _LANES * 4  # acc, m, l
+    return 2 * per_copy + scratch
+
+
+def _carry_block_policy(lq: int, lk: int, d: int = 128) -> tuple[int, int]:
+    """Block policy for the ring-hop carry kernel. Starts from the batch
+    kernel's measured-optimal blocks, then shrinks block_q (and block_k
+    as a last resort) until the double-buffered working set fits the
+    16 MB scoped-VMEM limit: the carry variant holds the unnormalized
+    (o, m, l) state as three extra in/out pairs plus scratch, so the
+    batch policy's block_q=2048 OOMs the compiler at production ring
+    shapes (measured 2026-08-20: 23 MB requested vs 16 MB limit at the
+    720p/k20 space=4 shard, q 14720 x kv 73600 — a failure only real
+    TPU compilation surfaces; interpret mode has no VMEM model)."""
+    budget = 14 << 20  # leave headroom under the 16 MB scoped limit
+    bq, bk = _block_policy(lq, lk)
+    while bq > 256 and _carry_vmem_bytes(bq, bk, d) > budget:
+        bq //= 2
+    while bk > 128 and _carry_vmem_bytes(bq, bk, d) > budget:
+        bk //= 2
+    return bq, bk
 
 
 def _play_attention_pallas(

@@ -191,3 +191,27 @@ def test_model_ring_divisibility_fallback():
     np.testing.assert_allclose(
         np.asarray(disp), np.asarray(disp_ref), rtol=1e-4, atol=1e-4
     )
+
+
+def test_carry_block_policy_fits_scoped_vmem():
+    """The ring-hop kernel carries (o, m, l) as extra in/out pairs, so
+    the batch kernel's block_q=2048 exceeds the 16 MB scoped-VMEM limit
+    at production ring shapes (measured on v5e 2026-08-20: 23 MB
+    requested at the 720p/k20 space=4 shard — a failure only real TPU
+    compilation surfaces; interpret mode has no VMEM model). The carry
+    policy must shrink blocks until the double-buffered working set
+    fits."""
+    from ppmstereo_tpu.kernels.play_attention import (
+        _block_policy, _carry_block_policy, _carry_vmem_bytes,
+    )
+
+    budget = 14 << 20
+    # 720p/k20 ring shapes, space shards 1..8 (q rows shrink, kv fixed)
+    for shards in (1, 2, 4, 8):
+        lq, lk = 58880 // shards, 73600
+        bq, bk = _carry_block_policy(lq, lk)
+        assert _carry_vmem_bytes(bq, bk, 128) <= budget, (shards, bq, bk)
+        assert bq >= 256 and bk >= 128
+    # the short shape was already safe — policy must not over-shrink
+    bq, bk = _carry_block_policy(10240 // 4, 51200)
+    assert (bq, bk) == _block_policy(10240 // 4, 51200)
