@@ -127,7 +127,8 @@ def bench(name, step):
 
     fn = jax.jit(chain)
     t0 = time.time()
-    first = float(jnp.mean(fn(h0, x0)))
+    out = fn(h0, x0)  # device output kept for full-tensor comparison
+    first = float(jnp.mean(out))
     compile_s = time.time() - t0
     ts = []
     for _ in range(3):
@@ -137,7 +138,7 @@ def bench(name, step):
     print(f"{name}: {min(ts)*1e3:.2f} ms/iter (mean {first:.5f}, "
           f"compile {compile_s:.0f}s, all {[f'{t*1e3:.2f}' for t in ts]})",
           flush=True)
-    return first
+    return out
 
 
 ref = bench("A module", lambda h, x: gru.apply(params, h, x))
@@ -145,4 +146,9 @@ for name, fold_q, grp in (("B zr-merged", False, False),
                           ("C zr-merged grouped-small", False, True),
                           ("D zr+qx-merged", True, False)):
     got = bench(name, lambda h, x, f=fold_q, g=grp: merged_iter(h, x, f, g))
-    print(f"   |mean diff vs A| = {abs(got - ref):.6f}", flush=True)
+    # full-tensor comparison on device (a scalar-mean match would pass
+    # for distinct-but-close outputs); bit-identity means max-abs == 0
+    max_abs = float(jnp.max(jnp.abs(got - ref)))
+    print(f"   max|diff vs A| = {max_abs:.6g}"
+          f" ({'bit-identical' if max_abs == 0.0 else 'NOT bit-identical'})",
+          flush=True)

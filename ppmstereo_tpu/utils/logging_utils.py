@@ -37,14 +37,20 @@ class MetricsLogger:
             v = float(v)
             self.running[k] = self.running.get(k, 0.0) + v
             self.counts[k] = self.counts.get(k, 0) + 1
-        # flush on every sum_freq BOUNDARY CROSSING: lines land on (or
-        # at the first push past) the sum_freq grid for any push cadence
-        # (a `% == 0` gate only fired when a push landed exactly on a
-        # multiple, i.e. at lcm(push_every, sum_freq) — for sum_freq=53
-        # and push_every=50 that meant one line per 2650 steps)
+        # flush at the first push >= sum_freq steps after the previous
+        # flush. Two pinned properties: (a) consecutive flushed steps are
+        # always >= sum_freq apart (tests/test_aux.py min-gap spec —
+        # guaranteed by construction here, where a boundary-crossing gate
+        # violated it after an overshooting flush); (b) the first flush
+        # lands on the sum_freq grid when pushes do (tests/test_harness.py
+        # — the anchor below aligns the cadence to the boundary at or
+        # under the first push, so e.g. push-every-10/sum_freq-50 flushes
+        # exactly at 50, 100, ...). A `% == 0` gate satisfied neither for
+        # cadences that never hit a multiple (push 50 / freq 53 flushed
+        # once per lcm = 2650 steps).
         if self._last_flush_step is None:
-            self._last_flush_step = step - 1  # first push anchors cadence
-        if step // self.sum_freq > self._last_flush_step // self.sum_freq:
+            self._last_flush_step = ((step - 1) // self.sum_freq) * self.sum_freq
+        if step - self._last_flush_step >= self.sum_freq:
             self.flush(step)
 
     def flush(self, step: int):

@@ -139,5 +139,13 @@ def test_warm_budget_vs_anchor():
     # BENCH_NOTES "Anchor EPE table"). Everything here is deterministic
     # (fixed seeds, fixed CPU backend), so a trip means a real
     # behavioral change, not flakiness.
-    assert epe_w <= 0.92 * epe_s, (epe_w, epe_s)
-    assert tepe_w <= 0.87 * tepe_s, (tepe_w, tepe_s)
+    # Two separate bounds so a failure names what actually happened:
+    # (1) the documented hard contract — warm may cost at most +10%
+    # accuracy vs strict. Tripping THIS means the budget is blown.
+    assert epe_w <= 1.10 * epe_s, ("blew the warm accuracy budget (>1.10x)", epe_w, epe_s)
+    assert tepe_w <= 1.10 * tepe_s, ("blew the warm accuracy budget (>1.10x)", tepe_w, tepe_s)
+    # (2) regression detection at observed margin + 10%: warm currently
+    # BEATS strict here. Tripping THIS (but not (1)) means the warm
+    # advantage was lost — investigate, but the contract still holds.
+    assert epe_w <= 0.92 * epe_s, ("lost the warm advantage (regression vs 0.833x observed)", epe_w, epe_s)
+    assert tepe_w <= 0.87 * tepe_s, ("lost the warm advantage (regression vs 0.784x observed)", tepe_w, tepe_s)
