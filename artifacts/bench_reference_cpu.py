@@ -25,7 +25,17 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-T, H, W, ITERS, REPS = 5, 128, 256, 10, 3
+# Default: the round-1 anchor config. Override with env to measure the
+# exact BASELINE ladder configs (VERDICT r4 item 7 — the baseline range):
+#   short: REF_T=10 REF_H=320 REF_W=512 REF_ITERS=10
+#   full:  REF_T=20 REF_H=736 REF_W=1280 REF_ITERS=20 REF_REPS=1 REF_WARMUP=0
+# (736x1280 is 720p after the reference's own /32 InputPadder pad.)
+T = int(os.environ.get("REF_T", "5"))
+H = int(os.environ.get("REF_H", "128"))
+W = int(os.environ.get("REF_W", "256"))
+ITERS = int(os.environ.get("REF_ITERS", "10"))
+REPS = int(os.environ.get("REF_REPS", "3"))
+WARMUP = os.environ.get("REF_WARMUP", "1") == "1"
 
 rng = np.random.default_rng(0)
 left = rng.uniform(0, 255, (1, T, H, W, 3)).astype(np.float32)
@@ -62,7 +72,8 @@ def bench_torch():
     l = torch.from_numpy(left).permute(0, 1, 4, 2, 3).contiguous()
     r = torch.from_numpy(right).permute(0, 1, 4, 2, 3).contiguous()
     with torch.no_grad():
-        model(l, r, iters=ITERS, test_mode=True)  # warmup
+        if WARMUP:
+            model(l, r, iters=ITERS, test_mode=True)  # warmup
         ts = []
         for _ in range(REPS):
             t0 = time.perf_counter()

@@ -1,16 +1,34 @@
 """Benchmark: frames/s/chip for PPMStereo sliding-window inference.
 
 Prints ONE JSON line on stdout:
-  {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
+  {"metric": ..., "value": N|null, "unit": "frames/s/chip",
+   "vs_baseline": {"low": N, "mid": N, "high": N}|null, ...}
+
+Value semantics (fixed, round 5 — VERDICT r4 weak #2): `value` is the
+measured END-TO-END frames/s of the selected config, or null if no
+clean e2e pass completed before the deadline. The single-window
+device-side marginal rate always lands in its OWN field
+(`device_only_fps`) and is never promoted into `value` — so the
+round-over-round `value` series is strict-e2e-comparable by
+construction (pinned by tests/test_bench_contract.py).
 
 Config ladder (BASELINE.json "configs"), selected with BENCH_CONFIG:
   short (default): 320x512, T=10 window, iters=10  — config #2
   full:            720p (736x1280 padded), T=20 window, iters=20 — config #3
 
-vs_baseline compares against an A100 estimate for the PyTorch reference
-derived in BASELINE.md terms: the reference publishes no numbers and no
-GPU is available here, so the baseline is a roofline-based estimate
-documented in BENCH_NOTES.md (updated when better evidence exists).
+Every `short` driver run ALSO measures the north-star 720p protocol
+when the deadline allows (VERDICT r4 item 1): a budgeted single-window
+full-config device measurement + a warm-window measurement, emitted as
+`full_*` fields in the same record — so BENCH_rNN.json tracks the
+headline shape every round, not just the short config.
+
+vs_baseline is a RANGE {"low","mid","high"}, not a point (VERDICT r4
+weak #7): the reference publishes no numbers and no GPU exists here, so
+the A100 denominator is the torch reference measured on this host's CPU
+at the exact config, transferred through a documented 50-80x
+CPU-to-A100 band for conv-heavy nets (BENCH_NOTES.md "A100 baseline
+estimate"). `low` divides by the most generous A100 estimate — quote
+THAT bound when claiming a win. Non-strict modes report null.
 
 Survivability (round-4 hardening): the axon TPU tunnel degrades by the
 hour (BENCH_NOTES "Tunnel characterization" — 300 s d2h stalls, 1285 s
@@ -47,15 +65,43 @@ import numpy as np
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _LAST_GOOD_PATH = os.path.join(_REPO, "BENCH_LAST_GOOD.json")
 
-# A100 reference fps/GPU estimates for the matching STRICT-parity config
-# (see BENCH_NOTES.md). Non-parity modes (warm, fast) carry the mode in
-# the metric name and report vs_baseline=null: vs_baseline is a
-# strict-protocol-to-strict-protocol comparison only.
-A100_BASELINE_FPS = {
-    "short": 8.0,     # 320x512, kernel 10, iters 10
-    "full": 1.0,      # 720p, kernel 20, iters 20
-    "full_k10": 1.3,  # 720p, kernel 10, iters 20 (reduced-memory fallback)
+# A100 reference fps/GPU estimate RANGES (low, mid, high) for the
+# matching STRICT-parity config. Derivation (full audit trail in
+# BENCH_NOTES.md "A100 baseline estimate", round-5 revision):
+#   fps = stride * util * 312e12 / window_FLOPs
+# where window_FLOPs is the analytic per-window FLOP count of the exact
+# protocol graph (dominated by the play attention; cross-checked
+# against measured v5e device times at measured kernel utilizations,
+# and against the torch reference measured on this host's CPU at the
+# exact configs), 312 TFLOP/s is A100 bf16 peak, and util spans
+# (15%, 30%, 55%) — the plausible ACHIEVED-utilization band for the
+# eager torch reference (its per-frame CUDA flash-attn calls at the big
+# 720p seqlens can reach ~55%; the smaller short-config shapes and the
+# eager conv/GRU stack pull the floor toward 15%). Non-parity modes
+# (warm, fast) carry the mode in the metric name and report
+# vs_baseline=null: strict-to-strict comparison only.
+A100_BASELINE_FPS_RANGE = {
+    # 320x512 k10 i10: ~50e12 FLOP/window, stride 5
+    "short": (4.7, 9.4, 17.2),
+    # 720p k20 i20: ~4150e12 FLOP/window, stride 10
+    "full": (0.11, 0.23, 0.42),
+    # 720p k10 i20 (reduced-memory fallback): ~2050e12 FLOP/window, stride 5
+    "full_k10": (0.11, 0.23, 0.42),
 }
+
+
+def _vs_baseline_range(fps: float, config: str, strict: bool):
+    """{"low","mid","high"} ratios vs the baseline range, or None.
+    `low` = fps / highest plausible A100 fps — the conservative bound."""
+    rng_ = A100_BASELINE_FPS_RANGE.get(config)
+    if not strict or rng_ is None or not fps:
+        return None
+    lo_base, mid_base, hi_base = rng_
+    return {
+        "low": round(fps / hi_base, 3),
+        "mid": round(fps / mid_base, 3),
+        "high": round(fps / lo_base, 3),
+    }
 
 # ---------------------------------------------------------------------------
 # Emission machinery: one JSON line on stdout, exactly once, no matter how
@@ -296,7 +342,6 @@ def main():
         tags += "_nonparity"
     base_cfg = "full" if config == "full_warm" else config
     strict = not tags
-    baseline = A100_BASELINE_FPS.get(base_cfg)  # None for `tiny`
     metric = (
         f"ppmstereo_{base_cfg}_{h}x{w}_k{t_window}_i{iters}{tags} "
         "frames/s/chip"
@@ -371,24 +416,33 @@ def main():
     _log(f"phase A: steady device window {device_s_per_window:.2f}s")
     # Kept-frames accounting at the strict stitch: interior windows
     # contribute `stride` new frames each; a window in isolation keeps
-    # all t_window. Report the steady-state marginal rate (stride frames
-    # per window) — the honest long-video asymptote.
+    # all t_window. The steady-state marginal rate (stride frames per
+    # window) goes in `device_only_fps`; `value` stays null until a
+    # clean e2e pass lands (fixed semantics — VERDICT r4 weak #2: the
+    # device-only rate excludes transfers and must never masquerade as
+    # the tracked e2e series).
     with _LOCK:
         _BEST.update({
             "metric": metric,
-            "value": round(stride / device_s_per_window, 3),
+            "value": None,
             "unit": "frames/s/chip",
-            "vs_baseline": (
-                round(stride / device_s_per_window / baseline, 3)
-                if strict and baseline else None
-            ),
+            "vs_baseline": None,
             "partial": "device_only_single_window",
+            "device_only_fps": round(stride / device_s_per_window, 3),
             "device_s_per_window": round(device_s_per_window, 3),
             "first_window_s": round(first_s, 3),
             "n_windows": len(starts),
             "uncertainty_fetched": fetch_unc,
             "encoder_cache": enc_cache,
         })
+
+    if os.environ.get("BENCH_STOP_AFTER_PHASE_A") == "1":
+        # test hook (tests/test_bench_contract.py): emit exactly the
+        # record a watchdog fire after phase A would produce — pins the
+        # device-only partial schema (value null, device_only_fps set)
+        _emit(final=False)
+        sys.stdout.flush()
+        os._exit(0)
 
     warm_s_per_window = None
     if (warm_start and len(starts) > 1
@@ -406,7 +460,7 @@ def main():
         _log(f"phase A: warm window {warm_s_per_window:.2f}s")
         with _LOCK:
             _BEST["device_s_per_warm_window"] = round(warm_s_per_window, 3)
-            _BEST["value"] = round(stride / warm_s_per_window, 3)
+            _BEST["device_only_fps"] = round(stride / warm_s_per_window, 3)
 
     # ---- Phase B: end-to-end passes ------------------------------------
     # Pass 1 doubles as the warmup for any remaining graph shapes (tail
@@ -450,8 +504,8 @@ def main():
         if p == 0 and dt > 1.5 * compute_s + 30:
             # pass 1 was dominated by residual graph compiles/cache
             # loads (observed 226 s for a 2.9 s workload on a degraded
-            # day) — record it as warmup only; the device-side partial
-            # stays the headline until a clean e2e pass lands
+            # day) — record it as warmup only; value stays null (with
+            # device_only_fps populated) until a clean e2e pass lands
             _log("phase B: pass 1 compile-dominated — not recording as e2e")
             with _LOCK:
                 _BEST["first_e2e_pass_s"] = round(dt, 3)
@@ -460,10 +514,7 @@ def main():
         with _LOCK:
             _BEST.update({
                 "value": round(fps, 3),
-                "vs_baseline": (
-                    round(fps / baseline, 3)
-                    if strict and baseline else None
-                ),
+                "vs_baseline": _vs_baseline_range(fps, base_cfg, strict),
                 "wall_s": round(dt, 3),
                 "n_frames_out": n_out,
                 "transfer_overhead_s": round(max(0.0, dt - compute_s), 3),
@@ -475,12 +526,132 @@ def main():
             if p == 0 and n_passes > 1:
                 _BEST["partial"] = "single_e2e_pass"
 
+    # ---- Phase C: north-star full-config record (VERDICT r4 item 1) ----
+    # Every `short` driver run also measures the 720p/k20/i20 protocol
+    # (BASELINE config #3) on-device, plus its warm-window sanctioned
+    # mode, into full_* fields of the same record — so BENCH_rNN.json
+    # tracks the headline shape every round. Budget-gated: a degraded
+    # day emits the short result it already has. BENCH_FULL=0 skips.
+    run_full = (
+        os.environ.get("BENCH_FULL", "1") == "1"
+        and config in ("short", "tiny")
+    )
+    if run_full:
+        if config == "tiny":
+            fh, fw, ft, fi, fwarm_i = 64, 96, 4, 2, 1
+            est = 30.0
+        else:
+            fh, fw, ft, fi, fwarm_i = 720, 1280, 20, 20, 10
+            # cost model: full-graph compile/cache-load <= 2x the short
+            # first window + init + 2 strict windows (~36 s measured)
+            est = 2.0 * first_s + 15 + 2 * 36
+        if _deadline_left(deadline_s) <= est:
+            _log(f"phase C: skipped — deadline left "
+                 f"{_deadline_left(deadline_s):.0f}s < est {est:.0f}s")
+        else:
+            _log(f"phase C: full-config ({fh}x{fw} k{ft} i{fi}) device "
+                 "measurement")
+            try:
+                fstride = ft // 2
+                fmodel = PPMStereo(cfg=cfg, iters=fi, test_mode=True)
+                fmodel_warm = PPMStereo(
+                    cfg=cfg, iters=fwarm_i, test_mode=True
+                )
+                fpadder = InputPadder(fh, fw, divis_by=32)
+                fph, fpw = fpadder.padded_hw
+                finit = jnp.zeros((1, ft, fph, fpw, 3), jnp.float32)
+                fparams = jax.jit(fmodel.init)(
+                    jax.random.PRNGKey(0), finit, finit
+                )
+                fpred = SlidingWindowPredictor(
+                    lambda l, r: fmodel.apply(fparams, l, r),
+                    kernel_size=ft,
+                    warm_window_fn=lambda l, r, f0: fmodel_warm.apply(
+                        fparams, l, r, flow_init=f0
+                    ),
+                    fetch_uncertainty=False,
+                )
+                fvid = rng.integers(
+                    0, 255, (ft, 2, fh, fw, 3)
+                ).astype(np.uint8)
+                fl, fr = jnp.asarray(fvid[:, 0]), jnp.asarray(fvid[:, 1])
+                t0 = time.monotonic()
+                # same transient-compile-flake retries as phases A/B
+                # (observed: HTTP 500 from the remote compile service
+                # killed phase C on the first r5 driver-style run)
+                for attempt in range(3):
+                    try:
+                        fouts = fpred._run_window(fl, fr)
+                        _sync(fouts)
+                        break
+                    except Exception as e:  # noqa: BLE001
+                        msg = str(e)
+                        transient = any(
+                            s in msg for s in
+                            ("remote_compile", "UNAVAILABLE", "INTERNAL")
+                        )
+                        if not transient or attempt == 2:
+                            raise
+                        _log(f"phase C compile flake (attempt "
+                             f"{attempt + 1}): {msg.splitlines()[0][:120]}")
+                        time.sleep(20)
+                f_first = time.monotonic() - t0
+                t0 = time.monotonic()
+                fouts = fpred._run_window(fl, fr)
+                _sync(fouts)
+                f_dev = time.monotonic() - t0
+                _log(f"phase C: strict full window {f_dev:.2f}s "
+                     f"(first {f_first:.1f}s)")
+                with _LOCK:
+                    _BEST.update({
+                        "full_first_window_s": round(f_first, 3),
+                        "full_device_s_per_window": round(f_dev, 3),
+                        # strict marginal rate = the e2e asymptote
+                        # (stride new frames per window)
+                        "full_device_only_fps": round(fstride / f_dev, 3),
+                        "full_device_only_vs_baseline": _vs_baseline_range(
+                            fstride / f_dev, "full", True
+                        ),
+                    })
+                # warm window (sanctioned mode: stride = kernel, each
+                # warm window contributes ft new frames)
+                if _deadline_left(deadline_s) > 0.7 * f_first + 1.5 * f_dev:
+                    f_warm = None
+                    prev = fouts[0]
+                    for _ in range(2):
+                        t0 = time.monotonic()
+                        wouts = fpred._run_window_warm(
+                            fl, fr, prev, ft - fstride
+                        )
+                        _sync(wouts)
+                        f_warm = min(f_warm or 1e9,
+                                     time.monotonic() - t0)
+                    _log(f"phase C: warm full window {f_warm:.2f}s")
+                    with _LOCK:
+                        _BEST.update({
+                            "full_warm_device_s_per_window":
+                                round(f_warm, 3),
+                            "full_warm_fast_fps": round(ft / f_warm, 3),
+                        })
+                else:
+                    _log("phase C: warm window skipped (deadline)")
+            except Exception as e:  # noqa: BLE001 - phase C must never
+                # cost the already-recorded short result
+                _log(f"phase C failed (non-fatal): "
+                     f"{type(e).__name__}: {str(e)[:160]}")
+                with _LOCK:
+                    _BEST["full_error"] = type(e).__name__
+
     with _LOCK:
-        _BEST.pop("partial", None)
+        # a completed e2e value clears the partial flag; a device-only
+        # record keeps it (value stays null — the flag explains why)
+        if _BEST.get("value") is not None:
+            _BEST.pop("partial", None)
         final_rec = dict(_BEST)
     # persist for the stale-fallback path ONLY on a full, healthy run of
-    # a real config (the tiny self-test must not pollute the fallback)
-    if config != "tiny":
+    # a real config with a real e2e value (the tiny self-test and
+    # device-only partials must not pollute the fallback)
+    if config != "tiny" and final_rec.get("value") is not None:
         _save_last_good(
             {**final_rec, "measured_at": time.strftime("%Y-%m-%d")}
         )

@@ -137,11 +137,9 @@ def run_eval(cfg: DefaultConfig):
         from ppmstereo_tpu.parallel.mesh import MeshSpec, make_mesh
 
         data, seq, space = (int(s) for s in cfg.MODEL.mesh.split("x"))
-        # eval image sizes are dataset-dependent and unknown here:
-        # make_mesh without image_hw conservatively pins classic GSPMD
-        # for multi-axis meshes (parallel/mesh.py::shardy_safe_shapes)
-        # rather than risking the residual Shardy miscompile at small
-        # shapes
+        # eval image sizes are dataset-dependent and unknown here; safe
+        # at every shape — stages with tiny space shards replicate
+        # their rows in-model (models/ppm_stereo.py::_tiny_row_shards)
         mesh = make_mesh(MeshSpec(data=data, seq=seq, space=space))
 
     predictor = model_zoo(

@@ -150,10 +150,10 @@ class SlidingWindowPredictor:
         exact vs the sequential one (tests/test_sharded_inference.py).
         The caller must place the params the window_fn closes over as
         mesh-replicated arrays (jax.device_put(params, NamedSharding(
-        mesh, P()))), and should build the mesh with
-        parallel.mesh.make_mesh passing image_hw (it falls back to the
-        classic-GSPMD partitioner for shapes inside the residual Shardy
-        danger region — parallel/mesh.py::shardy_safe_shapes)."""
+        mesh, P()))). Every shape runs under the default Shardy
+        partitioner; stages whose space shards would be tinier than a
+        conv halo replicate their rows inside the model
+        (models/ppm_stereo.py::_tiny_row_shards)."""
         self.window_fn = window_fn
         self.warm_window_fn = warm_window_fn
         self.kernel_size = kernel_size

@@ -182,7 +182,46 @@ def _ambient_mesh():
         return None
 
 
-def _replicate_bank_over_seq(x):
+def _tiny_row_shards(h: int) -> bool:
+    """Whether sharding `h` rows over the ambient `space` axis would
+    produce local shards <= the largest chained-conv halo — the residual
+    Shardy danger region (round 4 bisection: chained convs in a scan
+    body miscompile when a space shard of the coarsest feature map is
+    not larger than one conv's halo; parallel/mesh.py docstring has the
+    history). Stages inside the region replicate their rows instead
+    (see PPMUpdateLoop.__call__) so the DEFAULT Shardy partitioner is
+    exact at every shape and no GSPMD fallback exists (round 5)."""
+    import os
+
+    if os.environ.get("PPM_TINY_SHARD_MITIGATION", "1") != "1":
+        return False
+    if _ambient_mesh_axis("space") is None:
+        return False
+    m = _ambient_mesh()
+    n = m.shape.get("space", 1) if m is not None else 1
+    from ppmstereo_tpu.parallel.mesh import _MAX_CHAINED_H_HALO
+
+    return n > 1 and h // n <= _MAX_CHAINED_H_HALO
+
+
+def _pin_rows_replicated(x, h_axis: int):
+    """with_sharding_constraint pinning the spatial axes (`h_axis` and
+    the W axis right after it) replicated, every other axis left
+    unconstrained. Used by the tiny-row-shard Shardy mitigation
+    (_tiny_row_shards): W must be pinned along with H — with H
+    replicated and W free, Shardy re-shards W over the idle `space`
+    devices and the chained 1x15 GRU convs (W halo 7) hit the same
+    tiny-shard miscompile on the other axis."""
+    from jax.sharding import PartitionSpec
+
+    U = PartitionSpec.UNCONSTRAINED
+    spec = PartitionSpec(
+        *[None if i in (h_axis, h_axis + 1) else U for i in range(x.ndim)]
+    )
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
+def _replicate_bank_over_seq(x, replicate_rows: bool = False):
     """Memory-bank sharding hint for a (B, T, H, W, C) K/V bank under a
     seq(+space)-sharded window: replicate the frame axis T (ONE bf16
     all-gather of the bank over the `seq` ICI ring) while rows stay
@@ -205,7 +244,11 @@ def _replicate_bank_over_seq(x):
         return x
     space = _ambient_mesh_axis("space")
     U = PartitionSpec.UNCONSTRAINED
-    spec = PartitionSpec(U, None, space if space else U, U, U)
+    # replicate_rows: the caller's stage is inside the tiny-row-shard
+    # Shardy danger region (_tiny_row_shards) — pin H replicated too so
+    # the bank never re-shards rows onto shards <= the conv halo
+    row_spec = None if replicate_rows else (space if space else U)
+    spec = PartitionSpec(U, None, row_spec, U, U)
     return jax.lax.with_sharding_constraint(x, spec)
 
 
@@ -242,9 +285,20 @@ class PPMStereoConfig:
     # ~2x fewer ICI bytes than all-gathering the k-times-larger picked
     # K/V, and the hops overlap with block compute. Same softmax up to
     # f32 merge reassociation (tests/test_ring_attention.py). No-op
-    # without an ambient space>1 mesh; ignored (gather path) when the
-    # window batch is data-sharded.
-    ring_attention: bool = False
+    # without an ambient space>1 mesh; falls back to the gather path
+    # when the window batch is data-sharded or shapes don't divide the
+    # mesh. DEFAULT ON since round 5 (VERDICT r4 item 5): exactness is
+    # pinned under the default Shardy partitioner, the Pallas carry
+    # kernel runs at 1.05x batch-kernel throughput on real TPU at
+    # production ring shapes (BENCH_NOTES "Ring play attention"), and
+    # the comm model projects -52% ICI bytes/iter vs the gather.
+    # ENGAGES ONLY WITH unroll_refinement_loop=True: the full model
+    # with shard_map inside its scanned loop miscompiles under Shardy
+    # (round-5 bisection, see _play and
+    # artifacts/shardy_shardmap_scan_repro.py); the unrolled loop is
+    # numerically identical and ring-exact, costing compile time only.
+    # Set False to force the all-gather path everywhere.
+    ring_attention: bool = True
     # Unroll the refinement loop as a Python loop instead of nn.scan.
     # Parameters and numerics are identical; compile time grows with
     # `iters`. Exists because the Shardy partitioner (JAX 0.9 default)
@@ -324,13 +378,27 @@ class PPMUpdateLoop(nn.Module):
         # ring-attention engagement, decided once for both the chunking
         # bypass and the attention dispatch below. Falls back to the
         # gather path (always exact) when:
+        #   * the refinement loop is SCANNED (round-5 finding: the full
+        #     model with shard_map inside its nn.scan returns O(1e-1)-
+        #     wrong values under the default Shardy partitioner, while
+        #     the identical unrolled model is exact to 1e-6 and the
+        #     isolated scanned loop is too — the trigger needs the full
+        #     cascade; boundary documented in
+        #     artifacts/shardy_shardmap_scan_repro.py. The unrolled
+        #     loop is numerically identical to the scan, so ring users
+        #     set cfg.unroll_refinement_loop=True and pay compile time
+        #     only);
         #   * the window batch is data-sharded (shard_map would need a
         #     data spec; windows batch rarely with space sharding);
         #   * this stage's H does not divide `space` (e.g. 720p 1/16:
         #     H=46 at space=4) or T does not divide `seq` (odd tail
         #     windows) — shard_map requires even shards.
         ring_mesh = None
-        if cfg.ring_attention and _ambient_mesh_axis("space"):
+        if (
+            cfg.ring_attention
+            and cfg.unroll_refinement_loop
+            and _ambient_mesh_axis("space")
+        ):
             ring_mesh = _ambient_mesh()
             if ring_mesh is not None:
                 n_space = ring_mesh.shape.get("space", 1)
@@ -344,7 +412,9 @@ class PPMUpdateLoop(nn.Module):
         # under a seq-sharded mesh: gather the compact per-frame bank
         # once (value each iteration; key_aug is hinted loop-invariantly
         # in __call__) so the pick below is local compute
-        value = _replicate_bank_over_seq(value)
+        value = _replicate_bank_over_seq(
+            value, replicate_rows=_tiny_row_shards(h)
+        )
 
         def rows(q_r, idx_r, sc_r):
             # q_r: (B,R,H,W,C); idx_r: (b,R,k); sc_r: (b,R,k)
@@ -422,9 +492,31 @@ class PPMUpdateLoop(nn.Module):
         cfg = self.cfg
         b, t, h, w, _ = flow.shape
 
+        # Residual-Shardy-bug mitigation (round 5, VERDICT r4 item 6):
+        # when this stage's rows sharded over `space` would give local
+        # shards <= the largest chained-conv halo, constrain every row-
+        # carrying input to ROW-REPLICATED for the stage. Shardy then
+        # partitions the scanned body on the seq axis only — exact at
+        # every shape (the miscompile needs 2-axis sharding with tiny H
+        # shards) — and the old classic-GSPMD pin in make_mesh is gone.
+        # Cost: one row all-gather at stage entry, negligible at the
+        # coarse shapes the region contains (e.g. 4 rows x W/16);
+        # adequate shapes (720p: 46 rows at 1/16) are unaffected.
+        rows_replicated = _tiny_row_shards(h)
+        if rows_replicated:
+            pyramid = [_pin_rows_replicated(p, 1) for p in pyramid]
+            coords0 = _pin_rows_replicated(coords0, 1)
+            query_pe = _pin_rows_replicated(query_pe, 2)
+            flow = _pin_rows_replicated(flow, 2)
+            net = _pin_rows_replicated(net, 2)
+            inp = _pin_rows_replicated(inp, 2)
+            motion_hidden = _pin_rows_replicated(motion_hidden, 2)
+
         # loop-invariant: replicate the key bank over `seq` once, outside
         # the scan (see _replicate_bank_over_seq)
-        key_aug = _replicate_bank_over_seq(key_aug)
+        key_aug = _replicate_bank_over_seq(
+            key_aug, replicate_rows=rows_replicated
+        )
 
         mask_ch = (27 if cfg.use_convex_3d else 9) * 16
         mask0 = jnp.zeros((b, t, h, w, mask_ch), cfg.dtype)
@@ -436,6 +528,15 @@ class PPMUpdateLoop(nn.Module):
                 flow, net, motion_hidden, strive, _, _ = carry
             else:
                 flow, net, motion_hidden, strive, _ = carry
+            if rows_replicated:
+                # re-pin the carry each iteration: without this, Shardy
+                # propagates shardings from the (unconstrained) loop
+                # outputs back into the scan carry, re-introducing the
+                # 2-axis-sharded tiny-row-shard body the mitigation
+                # exists to avoid
+                flow = _pin_rows_replicated(flow, 2)
+                net = _pin_rows_replicated(net, 2)
+                motion_hidden = _pin_rows_replicated(motion_hidden, 2)
 
             # 1. pyramid lookup around current disparity (f32)
             coords_x = coords0 + flow[..., 0].reshape(b * t, h, w)

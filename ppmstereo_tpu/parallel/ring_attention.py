@@ -88,7 +88,7 @@ def _attend_block(q, k, v, o, m, l, scale, q_chunk: int = 4096):
     return o2[:, :lq], m2[:, :lq], l2[:, :lq]
 
 
-def _ring_local(q, k, v, *, scale, axis, n):
+def _ring_local(q, k, v, *, scale, axis, n, vary_axes=()):
     """shard_map body: q/k/v are LOCAL (B, Lq_loc, D)/(B, Lk_loc, D)
     token blocks; ring the (q, o, m, l) bundle `n` times over `axis`.
 
@@ -98,6 +98,16 @@ def _ring_local(q, k, v, *, scale, axis, n):
     _attend_block (base-e). The permuted state stays COMPACT per row
     ((B, Lq) m/l, not the kernel's 128-lane tiles) so a hop moves
     q (bf16) + o (f32) + 2/d per-row scalars ~ 1.5x |q-f32| bytes.
+
+    vary_axes: mesh axes the (o, m, l) state varies over — the axes of
+    the caller's in/out specs. The zeros/full initial carries are typed
+    device-INVARIANT by default; the scan's ppermute outputs vary, and
+    under `check_vma=False` that silent mismatch mis-informed Shardy's
+    propagation (round-5 root cause of the ring-under-Shardy
+    miscompile: GSPMD lowered it benignly, Shardy returned O(1e-1)
+    wrong values — tests/test_ring_attention.py now runs under the
+    default partitioner). pcast-to-varying + check_vma=True makes the
+    types honest and the lowering exact under BOTH partitioners.
     """
     from ppmstereo_tpu.kernels.play_attention import (
         _LANES, _on_tpu, flash_attend_carry,
@@ -107,6 +117,12 @@ def _ring_local(q, k, v, *, scale, axis, n):
     o = jnp.zeros((b, lq, d), jnp.float32)
     m = jnp.full((b, lq), _NEG_INF, jnp.float32)
     l = jnp.zeros((b, lq), jnp.float32)
+    if vary_axes:
+        if hasattr(jax.lax, "pcast"):
+            o, m, l = (jax.lax.pcast(x, vary_axes, to="varying")
+                       for x in (o, m, l))
+        else:  # older JAX spelling
+            o, m, l = (jax.lax.pvary(x, vary_axes) for x in (o, m, l))
     perm = [(i, (i + 1) % n) for i in range(n)]
     use_flash = _on_tpu() and d % _LANES == 0
 
@@ -158,17 +174,22 @@ def ring_play_attention(
     q_spec = P(None, seq, space_axis, None, None)
     kv_spec = P(None, seq, None, space_axis, None, None)
 
+    vary_axes = tuple(
+        a for a in (seq, space_axis) if a is not None
+    )
+
     def local(q_blk, k_blk, v_blk):
         lb, lr, lh = q_blk.shape[0], q_blk.shape[1], q_blk.shape[2]
         q_tok = q_blk.reshape(lb * lr, lh * w, c)
         k_tok = k_blk.reshape(lb * lr, k_frames * lh * w, c)
         v_tok = v_blk.reshape(lb * lr, k_frames * lh * w, c)
         out = _ring_local(
-            q_tok, k_tok, v_tok, scale=scale, axis=space_axis, n=n_space
+            q_tok, k_tok, v_tok, scale=scale, axis=space_axis, n=n_space,
+            vary_axes=vary_axes,
         )
         return out.reshape(lb, lr, lh, w, c)
 
     return jax.shard_map(
         local, mesh=mesh, in_specs=(q_spec, kv_spec, kv_spec),
-        out_specs=q_spec, check_vma=False,
+        out_specs=q_spec, check_vma=True,
     )(query, sel_key, sel_val)

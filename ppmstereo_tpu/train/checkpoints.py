@@ -51,7 +51,27 @@ def save_params(path: str, params: Any):
     ckptr.wait_until_finished()
 
 
+def load_params_npz(path: str) -> dict:
+    """Flat 'a/b/c' (f16) npz -> nested f32 variables dict — the format
+    written by cli/import_torch.py and artifacts/train_anchor.py."""
+    import numpy as np
+
+    flat = np.load(path)
+    tree: dict = {}
+    for k in flat.files:
+        parts = k.split("/")
+        d = tree
+        for part in parts[:-1]:
+            d = d.setdefault(part, {})
+        d[parts[-1]] = flat[k].astype(np.float32)
+    if "params" not in tree:
+        tree = {"params": tree}
+    return tree
+
+
 def load_params(path: str, template: Any | None = None):
+    if path.endswith(".npz"):
+        return load_params_npz(path)
     ckptr = ocp.StandardCheckpointer()
     if template is not None:
         return ckptr.restore(os.path.abspath(path), target=template)

@@ -188,9 +188,21 @@ def run_in_training_eval(cfg: TrainConfig, params, step: int, logger,
 
 
 def train(cfg: TrainConfig, loader=None, max_steps: int | None = None,
-          eval_dataset=None, enable_eval: bool = False):
+          eval_dataset=None, enable_eval: bool = False,
+          save_callback=None, init_params=None):
     """Run training; returns the final TrainState. `loader` defaults to
-    fetch_dataloader (SceneFlow + DynamicReplica, synthetic fallback)."""
+    fetch_dataloader (SceneFlow + DynamicReplica, synthetic fallback).
+
+    save_callback(total_steps, host_state): invoked right after every
+    periodic Orbax save with the host-fetched state — the recycle-proof
+    export hook (Orbax state lives outside git and dies with the
+    container; a callback can export/commit an npz every save_freq
+    steps — VERDICT r4 item 4).
+
+    init_params: parameter pytree seeding a FRESH run (used only when no
+    Orbax checkpoint exists to resume — e.g. warm-restarting from a
+    committed npz export after a container recycle destroyed the Orbax
+    state; optimizer state and the LR schedule start over)."""
     from ppmstereo_tpu.data.datasets import fetch_dataloader
 
     if loader is None:
@@ -215,8 +227,8 @@ def train(cfg: TrainConfig, loader=None, max_steps: int | None = None,
             d for d in range(1, min(cap, cfg.batch_size) + 1)
             if cfg.batch_size % d == 0
         )
-    # crop_size drives the Shardy-vs-GSPMD fallback decision for
-    # multi-axis meshes (parallel/mesh.py::shardy_safe_shapes)
+    # crop_size documents the input this mesh shards (the model handles
+    # tiny-shard shapes itself — models/ppm_stereo.py::_tiny_row_shards)
     mesh = make_mesh(
         MeshSpec(dp, cfg.seq_parallel, cfg.space_parallel),
         image_hw=tuple(cfg.crop_size),
@@ -248,6 +260,9 @@ def train(cfg: TrainConfig, loader=None, max_steps: int | None = None,
     if restored is not None:
         state, total_steps = restored, restored_step
         logging.info(f"resumed from step {total_steps}")
+    elif init_params is not None:
+        state = state.replace(params=init_params)
+        logging.info("seeded params from init_params (fresh optimizer)")
     state = jax.device_put(state, state_sharding)
 
     logger = MetricsLogger(cfg.exp_dir, sum_freq=cfg.log_freq)
@@ -300,7 +315,10 @@ def train(cfg: TrainConfig, loader=None, max_steps: int | None = None,
                 total_steps % cfg.save_freq == 0
                 and total_steps > cfg.ckpt_after_steps
             ):
-                ckpt.save(total_steps, jax.device_get(state))
+                host_state = jax.device_get(state)
+                ckpt.save(total_steps, host_state)
+                if save_callback is not None:
+                    save_callback(total_steps, host_state)
 
             if enable_eval and total_steps % cfg.eval_freq == 0:
                 # outside the mesh context: the eval predictor runs

@@ -217,3 +217,63 @@ def test_full_shipped_config_parity(reference_model_full):
     corr = np.corrcoef(got_disp.ravel(), want_disp.ravel())[0, 1]
     assert err.max() < 0.1, f"max abs err {err.max()} px"
     assert corr > 0.998, f"correlation {corr}"
+
+
+@pytest.mark.slow
+def test_import_torch_cli_roundtrip(reference_model_full, tmp_path):
+    """The one-command trained-weights intake (cli/import_torch.py,
+    VERDICT r4 item 8) run against the random-weights shipped-config
+    state dict this suite already builds: the CLI must exit 0 (no
+    missing/unmapped keys), and its npz must decode — via the same
+    train/checkpoints.load_params_npz path MODEL.checkpoint=...npz
+    uses — to exactly the params the in-process mapping produces
+    (f16 quantization aside)."""
+    import jax
+    import numpy as np
+
+    from ppmstereo_tpu.cli.import_torch import main as import_main
+    from ppmstereo_tpu.train.checkpoints import load_params_npz
+    from ppmstereo_tpu.utils.ppm_mapping import grn_transform, ppmstereo_mapping
+    from ppmstereo_tpu.utils.torch_import import flatten_params, import_by_mapping
+
+    sd = {
+        k: v.detach().numpy()
+        for k, v in reference_model_full.state_dict().items()
+    }
+    sd_path = tmp_path / "ref_sd.npz"
+    np.savez(sd_path, **sd)
+    out_path = tmp_path / "imported.npz"
+
+    rc = import_main([str(sd_path), str(out_path), "--platform", "cpu"])
+    assert rc == 0
+
+    got = load_params_npz(str(out_path))
+    assert "params" in got
+
+    # ground truth: the direct parity-suite import on the same sd
+    from ppmstereo_tpu.models.ppm_stereo import PPMStereo, PPMStereoConfig
+    import jax.numpy as jnp
+
+    at = "self_stereo_temporal_update_time_update_space"
+    cfg = PPMStereoConfig(
+        mixed_precision=False, use_cnet=True, attention_type=at,
+        num_frames=5, force_xla_attention=True,
+    )
+    model = PPMStereo(cfg=cfg, iters=2, test_mode=True)
+    zeros = jnp.zeros((1, 4, 64, 96, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), zeros, zeros)
+    want_inner, missing = import_by_mapping(
+        sd, params["params"], ppmstereo_mapping(attention_type=at, use_cnet=True),
+        transform=grn_transform,
+    )
+    assert not missing
+
+    want_flat = flatten_params(want_inner)
+    got_flat = flatten_params(got["params"])
+    assert set(got_flat) == set(want_flat)
+    for k in want_flat:
+        w = np.asarray(want_flat[k], dtype=np.float32)
+        g = np.asarray(got_flat[k], dtype=np.float32)
+        assert w.shape == g.shape, k
+        # f16 roundtrip: relative error bounded by half-precision eps
+        np.testing.assert_allclose(g, w, rtol=1e-3, atol=1e-6, err_msg=str(k))

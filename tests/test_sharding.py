@@ -7,9 +7,10 @@ All sharding modes are exact (fp32 reduction noise only, ~1e-6):
 3. the full model with seq AND space sharded simultaneously, under the
    DEFAULT Shardy partitioner at adequate shapes (the round-4 explicit
    conv padding fix, nn/common.py);
-4. the same at tiny shapes inside the residual Shardy danger region,
-   via make_mesh's classic-GSPMD fallback
-   (parallel/mesh.py::shardy_safe_shapes);
+4. the same at tiny shapes previously inside the Shardy danger region
+   — exact under Shardy since round 5's in-model row-replication
+   mitigation (models/ppm_stereo.py::_tiny_row_shards); no GSPMD
+   fallback exists anymore;
 5. scan+remat GRADIENTS of the refinement loop under Shardy.
 
 Historical note: (3) used to diverge by ~1e-1 under Shardy. Round-3
@@ -18,7 +19,9 @@ implicitly-padded conv + 2-axis sharding); round 4 found lowering every
 Conv as explicit jnp.pad + VALID partitions exactly
 (artifacts/shardy_probe_r4.py) except when a 1/16-scale space shard is
 not larger than a chained conv's halo (shardy_bisect_loop_r4.py) —
-hence the shape-aware fallback these tests pin from both sides.
+round 4 pinned classic GSPMD there; round 5 replaced the fallback with
+stage-local row replication inside the model, deleting the deprecated-
+GSPMD dependency entirely.
 """
 
 import dataclasses
@@ -52,11 +55,17 @@ def _run(model, params, left, right, mesh, spec):
         model.apply,
         in_shardings=(jax.tree_util.tree_map(lambda _: rep, params), sh, sh),
     )
-    return fn(
-        jax.device_put(params, rep),
-        jax.device_put(left, sh),
-        jax.device_put(right, sh),
-    )
+    # trace under the mesh context: the model's sharding hints (memory-
+    # bank seq-replication, tiny-row-shard Shardy mitigation) read the
+    # AMBIENT mesh at trace time — every framework entry point
+    # (SlidingWindowPredictor._jit, trainer, streaming) traces inside
+    # `with mesh:`, so tests must too
+    with mesh:
+        return fn(
+            jax.device_put(params, rep),
+            jax.device_put(left, sh),
+            jax.device_put(right, sh),
+        )
 
 
 @pytest.mark.slow
@@ -107,26 +116,32 @@ def test_gru_in_scan_seq_space_sharded_unit():
 
 
 @pytest.mark.slow
-def test_seq_space_sharded_forward_exact_tiny_shape_fallback():
-    """64-px clips put 2-row space shards at the 1/16 stage — inside the
-    residual Shardy danger region (chained-conv halo 3 > local 2), where
-    Shardy still returns O(1e-1)-wrong values. make_mesh(image_hw=...)
-    must fall back to classic GSPMD there and stay exact."""
-    left, right = _clip()
-    model = PPMStereo(cfg=CFG, iters=2, test_mode=True)
-    params = model.init(jax.random.PRNGKey(0), left, right)
-    disp_ref, _ = jax.jit(model.apply)(params, left, right)
+def test_seq_space_sharded_forward_exact_tiny_shape_under_shardy():
+    """64-px clips put 2-row space shards at the 1/16 stage — the shape
+    class where Shardy used to return O(1e-1)-wrong values (round-4
+    danger region). Round 5: the model pins such stages' rows
+    replicated (_tiny_row_shards), so the DEFAULT partitioner is exact
+    here and make_mesh never falls back to classic GSPMD."""
+    prev = jax.config.jax_use_shardy_partitioner
+    try:
+        jax.config.update("jax_use_shardy_partitioner", True)
+        left, right = _clip()
+        model = PPMStereo(cfg=CFG, iters=2, test_mode=True)
+        params = model.init(jax.random.PRNGKey(0), left, right)
+        disp_ref, _ = jax.jit(model.apply)(params, left, right)
 
-    with pytest.warns(RuntimeWarning, match="Shardy danger region"):
         mesh = make_mesh(
             MeshSpec(data=1, seq=2, space=2), image_hw=(64, 128)
         )
-    assert not jax.config.jax_use_shardy_partitioner
-    disp, _ = _run(model, params, left, right, mesh, P(None, "seq", "space"))
-    assert np.isfinite(np.asarray(disp)).all()
-    np.testing.assert_allclose(
-        np.asarray(disp), np.asarray(disp_ref), rtol=1e-4, atol=1e-4
-    )
+        assert jax.config.jax_use_shardy_partitioner  # no GSPMD pin exists
+        disp, _ = _run(
+            model, params, left, right, mesh, P(None, "seq", "space"))
+        assert np.isfinite(np.asarray(disp)).all()
+        np.testing.assert_allclose(
+            np.asarray(disp), np.asarray(disp_ref), rtol=1e-4, atol=1e-4
+        )
+    finally:
+        jax.config.update("jax_use_shardy_partitioner", prev)
 
 
 @pytest.mark.slow

@@ -11,11 +11,13 @@ _CKPTS = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "checkpoints",
 )
-# prefer the deepest standing anchor on this machine (r4 is minted on
-# disk by artifacts/post_anchor_queue.sh and intentionally not committed
-# — see .gitignore); fall back to the committed 5k-step r3 anchor
+# prefer the deepest standing anchor: r5 (committed rolling export from
+# artifacts/train_anchor.py, seeded from r3 — round 5) > r4 (minted on
+# disk by artifacts/post_anchor_queue.sh, intentionally uncommitted —
+# see .gitignore) > the committed 5k-step r3 anchor
 ANCHOR_NPZ = next(
-    (p for p in (os.path.join(_CKPTS, "anchor_r4.npz"),
+    (p for p in (os.path.join(_CKPTS, "anchor_r5.npz"),
+                 os.path.join(_CKPTS, "anchor_r4.npz"),
                  os.path.join(_CKPTS, "anchor_r3.npz"))
      if os.path.exists(p)),
     os.path.join(_CKPTS, "anchor_r3.npz"),
