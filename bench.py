@@ -24,11 +24,13 @@ headline shape every round, not just the short config.
 
 vs_baseline is a RANGE {"low","mid","high"}, not a point (VERDICT r4
 weak #7): the reference publishes no numbers and no GPU exists here, so
-the A100 denominator is the torch reference measured on this host's CPU
-at the exact config, transferred through a documented 50-80x
-CPU-to-A100 band for conv-heavy nets (BENCH_NOTES.md "A100 baseline
-estimate"). `low` divides by the most generous A100 estimate — quote
-THAT bound when claiming a win. Non-strict modes report null.
+the A100 denominator spans an achieved-utilization band applied to the
+exact protocol graph's analytic FLOP count, cross-checked against the
+torch reference measured on this host's CPU (full derivation:
+BENCH_NOTES.md "A100 baseline estimate"). `low` divides by the most
+generous A100 estimate — quote THAT bound when claiming a win.
+Non-strict modes (warm/fast, incl. BENCH_CONFIG=short_warm/full_warm)
+report null.
 
 Survivability (round-4 hardening): the axon TPU tunnel degrades by the
 hour (BENCH_NOTES "Tunnel characterization" — 300 s d2h stalls, 1285 s
@@ -238,6 +240,11 @@ def main():
         # Non-parity; EPE impact quantified in tests/test_warm_start.py
         # and BENCH_NOTES.md.
         h, w, t_window, iters = 720, 1280, 20, 20
+    elif config == "short_warm":
+        # warm-start at the short operating point (cold i10, warm i5 —
+        # the anchor EPE table's sanctioned budget, which IMPROVES
+        # EPE/TEPE with trained weights: EPE_rNN.json). Non-parity.
+        h, w, t_window, iters = 320, 512, 10, 10
     elif config == "tiny":
         # self-test config (not a BASELINE row): exercises every phase of
         # the bench machinery in seconds on CPU — used by
@@ -245,8 +252,10 @@ def main():
         h, w, t_window, iters = 64, 96, 4, 2
     else:
         h, w, t_window, iters = 320, 512, 10, 10
-    warm_start = config == "full_warm"
-    warm_iters = int(os.environ.get("BENCH_WARM_ITERS", "10"))
+    warm_start = config in ("full_warm", "short_warm")
+    warm_iters = int(os.environ.get(
+        "BENCH_WARM_ITERS", "5" if config == "short_warm" else "10"
+    ))
 
     import jax
     import jax.numpy as jnp
@@ -340,7 +349,7 @@ def main():
         tags += "_fast"
     if tags:
         tags += "_nonparity"
-    base_cfg = "full" if config == "full_warm" else config
+    base_cfg = {"full_warm": "full", "short_warm": "short"}.get(config, config)
     strict = not tags
     metric = (
         f"ppmstereo_{base_cfg}_{h}x{w}_k{t_window}_i{iters}{tags} "
