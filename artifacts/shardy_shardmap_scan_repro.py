@@ -19,7 +19,15 @@ check_vma=True, now shipped in parallel/ring_attention.py) nor carry
 sharding pins change the full-model result. Consequence: the ring
 engages only with the unrolled loop (numerically identical to the
 scan), enforced in models/ppm_stereo.py::_play; the scanned loop uses
-the gather path, which is Shardy-exact at every shape.
+the gather path, which is Shardy-exact at every shape >= 64 px.
+
+Second residual boundary (gather path, same date): images BELOW 64 px
+(1/16 scale <= 2 rows) keep an O(1e-3) Shardy-vs-sequential residual
+in the encoder/SST chains OUTSIDE the refinement loops — bit-identical
+across every pin variant tried (loops-only, loops at 2x halo
+threshold, whole-model image pin), exact under GSPMD (1.2e-07) and
+exact with space sharding off. Not worth more mitigation: no workload
+space-shards sub-64px rows (the sharded-config tests use >= 64 px).
 
 Run: python artifacts/shardy_shardmap_scan_repro.py
 """

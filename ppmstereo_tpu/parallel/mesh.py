@@ -61,9 +61,15 @@ def make_mesh(
     the coarsest feature map is <= one conv's halo. Round 5 closed (2)
     inside the MODEL: stages in the danger region pin their rows
     replicated (models/ppm_stereo.py::_tiny_row_shards), which is exact
-    under Shardy at every tested shape (tests/test_sharding.py) — so
-    the old classic-GSPMD fallback and its deprecation exposure are
-    gone.
+    under Shardy at every tested shape with images >= 64 px
+    (tests/test_sharding.py, tests/test_distributed_2proc.py) — so the
+    old classic-GSPMD fallback and its deprecation exposure are gone.
+    Residual boundary: images BELOW 64 px (1/16 scales of <= 2 rows)
+    keep an O(1e-3) Shardy inexactness in the encoder/SST chains that
+    row pins measurably do not remove (2026-08-21 diagnostic, constant
+    1.77e-3 across loop-only/loop+image pin variants at 32x64; exact
+    under GSPMD). No real workload space-shards sub-64px rows; tests
+    use >= 64 px for space-sharded configs.
 
     image_hw: accepted for API compatibility (callers pass the input
     (H, W) this mesh will shard); no longer changes partitioner choice.

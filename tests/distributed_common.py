@@ -71,6 +71,13 @@ def build_parallel_window_setup(mesh=None):
 
 COMPOSED_KERNEL = 4
 COMPOSED_FRAMES = 100
+# 64px: the smallest image class proven Shardy-exact with seq x space
+# sharding (models/ppm_stereo.py::_tiny_row_shards covers the 1/16
+# stage; sub-64px images leave 1/16 scales of <= 2 rows whose
+# encoder/SST chains still hit a residual O(1e-3) Shardy inexactness —
+# boundary documented in artifacts/shardy_shardmap_scan_repro.py and
+# parallel/mesh.py; nothing real shards sub-64px rows over devices)
+COMPOSED_H, COMPOSED_W = 64, 64
 
 
 def build_composed_window_setup(mesh=None):
@@ -88,7 +95,7 @@ def build_composed_window_setup(mesh=None):
         num_frames=COMPOSED_KERNEL, top_k=2, force_xla_attention=True,
     )
     model = PPMStereo(cfg=cfg, iters=1, test_mode=True)
-    zeros = jnp.zeros((1, COMPOSED_KERNEL, H, W, 3), jnp.float32)
+    zeros = jnp.zeros((1, COMPOSED_KERNEL, COMPOSED_H, COMPOSED_W, 3), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(5), zeros, zeros)
     if mesh is not None:
         from ppmstereo_tpu.parallel.sharding import replicate
@@ -100,7 +107,7 @@ def build_composed_window_setup(mesh=None):
 
     rng = np.random.default_rng(23)
     video = rng.uniform(
-        0, 255, (COMPOSED_FRAMES, 2, H, W, 3)
+        0, 255, (COMPOSED_FRAMES, 2, COMPOSED_H, COMPOSED_W, 3)
     ).astype(np.float32)
     return window_fn, video
 

@@ -90,12 +90,15 @@ def main():
     # pipelined over `data` ACROSS the two processes while each window
     # is itself sharded over seq x space ---------------------------------
     from tests.distributed_common import (
+        COMPOSED_H,
         COMPOSED_KERNEL,
+        COMPOSED_W,
         build_composed_window_setup,
     )
 
     mesh_c = make_mesh(
-        MeshSpec(data=nproc, seq=2, space=2), image_hw=(32, 64)
+        MeshSpec(data=nproc, seq=2, space=2),
+        image_hw=(COMPOSED_H, COMPOSED_W),
     )
     window_fn_c, video_c = build_composed_window_setup(mesh_c)
     ppred_c = ParallelWindowPredictor(
